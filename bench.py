@@ -1,0 +1,89 @@
+"""Benchmark: supervised F-PointNet v1 training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "train_frustums_per_sec", "value": N, "unit": "frustums/s",
+   "vs_baseline": N / (10 * TF1_CPU_FPS_EST)}
+
+North-star (BASELINE.json): >= 10x TF1-CPU frustums/sec at N=1024.
+The reference published no throughput ("published": {}), so the baseline
+constant below is an engineering estimate of the TF1-CPU reference:
+F-PointNet v1 fwd+bwd is ~5.4 GFLOP/example at N=1024; a 2018-era
+multicore CPU TF1 run sustains ~50 examples/s. vs_baseline therefore
+measures progress against the 10x target (1.0 == target met).
+
+Measures the production train step (loss + grads + Adam + BN stats, IoU
+metrics off to isolate training compute) in steady state with batches
+pre-staged on device; first-step compile excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TF1_CPU_FPS_EST = 50.0
+TARGET_MULTIPLE = 10.0
+
+BATCH = 128
+NPOINTS = 1024
+CHANNELS = 4
+WARMUP_STEPS = 5
+MEASURE_STEPS = 30
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from transferable3d_tpu.core import bins as bins_lib
+    from transferable3d_tpu.data import synthetic
+    from transferable3d_tpu.data.provider import FrustumDataset
+    from transferable3d_tpu.models.frustum_pointnet_v1 import FrustumPointNetV1
+    from transferable3d_tpu.train import schedules, train_loop
+
+    cfg = bins_lib.SUNRGBD
+    # Small synthetic set, tiled to batch size on device (host is 1 core;
+    # we are benchmarking the chip, not the host generator).
+    recs = synthetic.make_dataset(32, cfg, seed=0, n_object=600,
+                                  n_clutter=300)
+    ds = FrustumDataset(recs, cfg, npoints=NPOINTS, rotate_to_center=True)
+    small = ds.get_batch(list(range(32)))
+    reps = BATCH // 32
+    batch = {k: np.concatenate([v] * reps, axis=0) for k, v in small.items()}
+    batch = jax.device_put(batch)
+
+    model = FrustumPointNetV1(cfg=cfg, dtype=jnp.bfloat16)
+    lr_sched = schedules.exponential_staircase_lr(batch_size=BATCH)
+    bn_sched = schedules.bn_momentum_schedule(batch_size=BATCH)
+    tx = train_loop.make_optimizer(lr_sched)
+    state = train_loop.create_train_state(model, cfg, tx, batch, seed=0)
+    step = train_loop.make_train_step(
+        model, cfg, tx, lr_sched, bn_sched,
+        step_cfg=train_loop.StepConfig(compute_iou_metrics=False))
+
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * MEASURE_STEPS / dt
+    loss = float(metrics["total_loss"])
+    assert np.isfinite(loss), f"non-finite loss {loss}"
+    print(json.dumps({
+        "metric": "train_frustums_per_sec",
+        "value": round(fps, 1),
+        "unit": "frustums/s",
+        "vs_baseline": round(fps / (TARGET_MULTIPLE * TF1_CPU_FPS_EST), 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,279 @@
+"""Model utilities: masking, box-output parsing, multi-task loss, metrics.
+
+Capability parity target: the reference's `models/model_util.py`
+(SURVEY.md C7) — `point_cloud_masking`, `parse_output_to_tensors`,
+`get_box3d_corners(_helper)`, `huber_loss`, `get_loss` — re-derived from
+the Frustum-PointNets spec (arXiv:1711.08488) with the loss weights of
+SURVEY.md Appendix A.
+
+TPU-first reformulation (SURVEY.md §7 hard-part 2): the reference's
+masking stage does a *dynamic* gather of the segmented object points
+(shape depends on the mask). Here it is shape-static: `lax.top_k` over the
+mask selects the first NUM_OBJECT_POINT masked indices (top_k on equal
+keys is index-stable), and slots beyond the masked count repeat the first
+masked point — matching the reference's pad-by-repetition semantics with
+fully static shapes so XLA can fuse the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from transferable3d_tpu.core import bins as bins_lib
+from transferable3d_tpu.core import geometry
+
+NUM_OBJECT_POINT = bins_lib.NUM_OBJECT_POINT
+
+
+# ---------------------------------------------------------------------------
+# Masking (instance segmentation -> object point set)
+# ---------------------------------------------------------------------------
+
+class MaskedPoints(NamedTuple):
+    object_points: jnp.ndarray   # [B, NUM_OBJECT_POINT, 3] centroid-centered
+    mask_centroid: jnp.ndarray   # [B, 3] masked xyz centroid (stage-1 origin)
+    mask: jnp.ndarray            # [B, N] float 0/1 mask actually used
+
+
+def point_cloud_masking(points: jnp.ndarray, seg_logits: jnp.ndarray,
+                        num_object_point: int = NUM_OBJECT_POINT
+                        ) -> MaskedPoints:
+    """Select object points by predicted segmentation; static shapes.
+
+    points [B, N, C] (xyz first), seg_logits [B, N, 2]. Returns exactly
+    `num_object_point` xyz points translated by -masked_centroid.
+
+    Reference semantics (C7 `point_cloud_masking`): hard mask from argmax,
+    centroid = mean of masked xyz, gather masked points padded by
+    repetition to a fixed count.
+    """
+    xyz = points[..., :3]
+    mask = (seg_logits[..., 1] > seg_logits[..., 0]).astype(jnp.float32)
+
+    count = jnp.sum(mask, axis=1, keepdims=True)  # [B, 1]
+    centroid = (jnp.sum(xyz * mask[..., None], axis=1)
+                / jnp.maximum(count, 1.0))  # [B, 3]
+
+    # Static top-k gather: masked indices first (stable for equal keys).
+    k = num_object_point
+    n = mask.shape[1]
+    k_eff = min(k, n)
+    _, idx = jax.lax.top_k(mask, k_eff)  # [B, k_eff]
+    n_masked = count.astype(jnp.int32)  # [B, 1]
+    # Cyclic pad-by-repetition: slots past the masked count wrap around the
+    # masked set (reference resamples with replacement when short); an
+    # all-empty mask degrades to point 0 + centroid 0, mirroring the
+    # reference's empty-mask fallback.
+    slot = jnp.broadcast_to(jnp.arange(k)[None, :], (mask.shape[0], k))
+    wrapped = jnp.mod(slot, jnp.clip(n_masked, 1, k_eff))
+    idx = jnp.take_along_axis(idx, wrapped, axis=1)  # [B, k]
+    obj = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # [B, k, 3]
+    obj = obj - centroid[:, None, :]
+    return MaskedPoints(object_points=obj, mask_centroid=centroid, mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# Box output parsing
+# ---------------------------------------------------------------------------
+
+def parse_box_output(output: jnp.ndarray, cfg: bins_lib.BinConfig
+                     ) -> Dict[str, jnp.ndarray]:
+    """Split the box head's [B, 3 + 2*NH + 4*NS] vector into named parts.
+
+    Reference: `parse_output_to_tensors` (C7). Residual normalization
+    conventions: heading residual = normalized * (pi / NH); size residual
+    = normalized * per-class mean size.
+    """
+    nh, ns = cfg.num_heading_bin, cfg.num_size_cluster
+    center_delta = output[:, 0:3]
+    heading_scores = output[:, 3:3 + nh]
+    heading_res_norm = output[:, 3 + nh:3 + 2 * nh]
+    size_scores = output[:, 3 + 2 * nh:3 + 2 * nh + ns]
+    size_res_norm = output[:, 3 + 2 * nh + ns:].reshape(-1, ns, 3)
+
+    mean_sizes = jnp.asarray(cfg.mean_size_array())  # [NS, 3]
+    return {
+        "center_delta": center_delta,
+        "heading_scores": heading_scores,
+        "heading_residuals_normalized": heading_res_norm,
+        "heading_residuals": heading_res_norm * (jnp.pi / nh),
+        "size_scores": size_scores,
+        "size_residuals_normalized": size_res_norm,
+        "size_residuals": size_res_norm * mean_sizes[None],
+    }
+
+
+def get_box3d_corners_grid(center: jnp.ndarray, end_points: Dict,
+                           cfg: bins_lib.BinConfig) -> jnp.ndarray:
+    """Corners for every (heading bin, size cluster) combo: [B,NH,NS,8,3].
+
+    Reference: `get_box3d_corners` (C7); feeds the corner loss, which
+    selects the GT bin's entry.
+    """
+    nh, ns = cfg.num_heading_bin, cfg.num_size_cluster
+    b = center.shape[0]
+    bin_centers = jnp.arange(nh, dtype=jnp.float32) * (2 * jnp.pi / nh)
+    headings = bin_centers[None, :] + end_points["heading_residuals"]  # [B,NH]
+    mean_sizes = jnp.asarray(cfg.mean_size_array())  # [NS, 3]
+    sizes = mean_sizes[None] + end_points["size_residuals"]  # [B, NS, 3]
+
+    headings_g = jnp.broadcast_to(headings[:, :, None], (b, nh, ns))
+    sizes_g = jnp.broadcast_to(sizes[:, None, :, :], (b, nh, ns, 3))
+    centers_g = jnp.broadcast_to(center[:, None, None, :], (b, nh, ns, 3))
+    return geometry.box_corners(centers_g, sizes_g, headings_g)
+
+
+def decode_box(end_points: Dict, cfg: bins_lib.BinConfig):
+    """argmax-decode (center, size, heading) from the network outputs.
+
+    Mirrors the reference's test-time decode (C10): argmax over
+    heading/size scores, add the corresponding residual, bins -> angle.
+    """
+    center = end_points["center"]
+    hcls = jnp.argmax(end_points["heading_scores"], axis=-1)  # [B]
+    hres = jnp.take_along_axis(end_points["heading_residuals"],
+                               hcls[:, None], axis=1)[:, 0]
+    heading = bins_lib.class_to_angle(hcls, hres, cfg.num_heading_bin)
+    scls = jnp.argmax(end_points["size_scores"], axis=-1)  # [B]
+    sres = jnp.take_along_axis(end_points["size_residuals"],
+                               scls[:, None, None], axis=1)[:, 0]
+    size = bins_lib.class_to_size(scls, sres, cfg)
+    return center, size, heading, hcls, scls
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def huber_loss(error: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Mean Huber loss (reference C7 `huber_loss`)."""
+    abs_err = jnp.abs(error)
+    quad = jnp.minimum(abs_err, delta)
+    lin = abs_err - quad
+    return jnp.mean(0.5 * quad ** 2 + delta * lin)
+
+
+class Labels(NamedTuple):
+    """Ground-truth for the supervised loss (provider output, C4)."""
+    seg: jnp.ndarray              # [B, N] int {0,1}
+    center: jnp.ndarray           # [B, 3]
+    heading_class: jnp.ndarray    # [B] int
+    heading_residual: jnp.ndarray  # [B]
+    size_class: jnp.ndarray       # [B] int
+    size_residual: jnp.ndarray    # [B, 3]
+
+
+def get_loss(end_points: Dict, labels: Labels, cfg: bins_lib.BinConfig,
+             box_loss_weight: float = 1.0,
+             corner_loss_weight: float = 10.0,
+             seg_weight: float = 1.0) -> Dict[str, jnp.ndarray]:
+    """Multi-task loss, SURVEY.md Appendix A:
+
+      total = seg_CE + w_box * (center_huber(d=2) + stage1_huber(d=1)
+              + heading_CE + size_CE + 20*heading_res_huber(d=1)
+              + 20*size_res_huber(d=1) + w_corner * corner_huber(d=1))
+
+    corner loss = min over (GT heading, GT heading + pi) of the mean
+    corner distance, computed at the GT (heading bin, size cluster) slot
+    of the full corner grid (arXiv:1711.08488 corner-loss definition).
+    """
+    nh, ns = cfg.num_heading_bin, cfg.num_size_cluster
+
+    # Segmentation CE over [B, N, 2].
+    seg_loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+        end_points["seg_logits"], labels.seg))
+
+    # Center losses: huber on the Euclidean distance (not per-coord).
+    def dist_huber(pred, gt, delta):
+        d = jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1) + 1e-12)
+        return huber_loss(d, delta)
+
+    center_loss = dist_huber(end_points["center"], labels.center, 2.0)
+    stage1_loss = dist_huber(end_points["stage1_center"], labels.center, 1.0)
+
+    # Heading bin CE + residual huber at the GT bin.
+    heading_cls_loss = jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(
+            end_points["heading_scores"], labels.heading_class))
+    h_onehot = jax.nn.one_hot(labels.heading_class, nh)
+    hres_pred = jnp.sum(
+        end_points["heading_residuals_normalized"] * h_onehot, axis=1)
+    hres_gt = labels.heading_residual / (jnp.pi / nh)
+    heading_res_loss = huber_loss(hres_pred - hres_gt, 1.0)
+
+    # Size cluster CE + residual huber at the GT cluster.
+    size_cls_loss = jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(
+            end_points["size_scores"], labels.size_class))
+    s_onehot = jax.nn.one_hot(labels.size_class, ns)  # [B, NS]
+    sres_pred = jnp.sum(
+        end_points["size_residuals_normalized"] * s_onehot[..., None], axis=1)
+    mean_sizes = jnp.asarray(cfg.mean_size_array())
+    sres_gt = labels.size_residual / mean_sizes[labels.size_class]
+    size_res_loss = huber_loss(sres_pred - sres_gt, 1.0)
+
+    # Corner loss at the GT (bin, cluster) slot; min over heading flip.
+    corners_grid = get_box3d_corners_grid(end_points["center"], end_points,
+                                          cfg)  # [B,NH,NS,8,3]
+    sel = (h_onehot[:, :, None] * s_onehot[:, None, :])[..., None, None]
+    pred_corners = jnp.sum(corners_grid * sel, axis=(1, 2))  # [B, 8, 3]
+
+    gt_heading = bins_lib.class_to_angle(
+        labels.heading_class, labels.heading_residual, nh)
+    gt_size = bins_lib.class_to_size(
+        labels.size_class, labels.size_residual, cfg)
+    gt_corners = geometry.box_corners(labels.center, gt_size, gt_heading)
+    gt_corners_flip = geometry.box_corners(
+        labels.center, gt_size, gt_heading + jnp.pi)
+    d = jnp.sqrt(jnp.sum((pred_corners - gt_corners) ** 2, axis=-1) + 1e-12)
+    d_flip = jnp.sqrt(
+        jnp.sum((pred_corners - gt_corners_flip) ** 2, axis=-1) + 1e-12)
+    corner_dist = jnp.minimum(jnp.mean(d, axis=1), jnp.mean(d_flip, axis=1))
+    corner_loss = huber_loss(corner_dist, 1.0)
+
+    box_loss = (center_loss + stage1_loss + heading_cls_loss + size_cls_loss
+                + 20.0 * heading_res_loss + 20.0 * size_res_loss
+                + corner_loss_weight * corner_loss)
+    total = seg_weight * seg_loss + box_loss_weight * box_loss
+    return {
+        "total_loss": total,
+        "seg_loss": seg_loss,
+        "center_loss": center_loss,
+        "stage1_center_loss": stage1_loss,
+        "heading_class_loss": heading_cls_loss,
+        "heading_residual_loss": heading_res_loss,
+        "size_class_loss": size_cls_loss,
+        "size_residual_loss": size_res_loss,
+        "corner_loss": corner_loss,
+    }
+
+
+# ---------------------------------------------------------------------------
+# In-graph metrics (reference did these via tf.py_func; we stay on-device)
+# ---------------------------------------------------------------------------
+
+def compute_metrics(end_points: Dict, labels: Labels,
+                    cfg: bins_lib.BinConfig) -> Dict[str, jnp.ndarray]:
+    """Seg accuracy + box IoU>=tau ratios, all inside the compiled step."""
+    seg_pred = jnp.argmax(end_points["seg_logits"], axis=-1)
+    seg_acc = jnp.mean((seg_pred == labels.seg).astype(jnp.float32))
+
+    center, size, heading, _, _ = decode_box(end_points, cfg)
+    gt_heading = bins_lib.class_to_angle(
+        labels.heading_class, labels.heading_residual, cfg.num_heading_bin)
+    gt_size = bins_lib.class_to_size(
+        labels.size_class, labels.size_residual, cfg)
+    iou3d, ioubev = geometry.box3d_iou_batched(
+        center, size, heading, labels.center, gt_size, gt_heading)
+    return {
+        "seg_accuracy": seg_acc,
+        "iou3d_mean": jnp.mean(iou3d),
+        "ioubev_mean": jnp.mean(ioubev),
+        "iou3d_ge_025": jnp.mean((iou3d >= 0.25).astype(jnp.float32)),
+        "iou3d_ge_05": jnp.mean((iou3d >= 0.5).astype(jnp.float32)),
+        "iou3d_ge_07": jnp.mean((iou3d >= 0.7).astype(jnp.float32)),
+    }
