@@ -1,0 +1,122 @@
+"""AP evaluator golden tests + end-to-end inference/detection-writer test."""
+
+import numpy as np
+import pytest
+
+from transferable3d_tpu.core import bins as bins_lib
+from transferable3d_tpu.eval import ap as ap_lib
+from transferable3d_tpu.train import test as test_lib
+
+CFG = bins_lib.SUNRGBD
+
+
+def _box(frame, cls, center, score=1.0, size=(2.0, 1.0, 1.0), heading=0.0):
+    return ap_lib.BoxDetection.from_params(frame, cls, center, size,
+                                           heading, score)
+
+
+def test_perfect_detections_ap1():
+    gts = [_box("f0", "chair", [0, 0, 5]), _box("f0", "chair", [3, 0, 5]),
+           _box("f1", "chair", [0, 0, 8])]
+    dets = [_box("f0", "chair", [0, 0, 5], 0.9),
+            _box("f0", "chair", [3, 0, 5], 0.8),
+            _box("f1", "chair", [0, 0, 8], 0.7)]
+    out = ap_lib.eval_det(dets, gts)
+    assert out["chair"] == pytest.approx(1.0)
+    assert out["mAP"] == pytest.approx(1.0)
+
+
+def test_no_detections_ap0():
+    gts = [_box("f0", "chair", [0, 0, 5])]
+    out = ap_lib.eval_det([], gts)
+    assert out["chair"] == 0.0
+
+
+def test_golden_half_recall():
+    """2 GT, 1 perfect det: recall 0.5, precision 1 -> AP = 0.5."""
+    gts = [_box("f0", "chair", [0, 0, 5]), _box("f0", "chair", [30, 0, 5])]
+    dets = [_box("f0", "chair", [0, 0, 5], 0.9)]
+    out = ap_lib.eval_det(dets, gts)
+    assert out["chair"] == pytest.approx(0.5)
+
+
+def test_golden_fp_before_tp():
+    """Ranked [FP, TP] over 1 GT: precision at recall 1 is 0.5 -> AP 0.5."""
+    gts = [_box("f0", "chair", [0, 0, 5])]
+    dets = [_box("f0", "chair", [50, 0, 5], 0.9),   # FP, higher score
+            _box("f0", "chair", [0, 0, 5], 0.8)]    # TP
+    out = ap_lib.eval_det(dets, gts)
+    assert out["chair"] == pytest.approx(0.5)
+
+
+def test_duplicate_detection_is_fp():
+    """Second detection on an already-matched GT counts as FP."""
+    gts = [_box("f0", "chair", [0, 0, 5])]
+    dets = [_box("f0", "chair", [0, 0, 5], 0.9),
+            _box("f0", "chair", [0.05, 0, 5], 0.8)]
+    r, p, ap = ap_lib.eval_det_cls(dets, gts)
+    assert ap == pytest.approx(1.0)  # TP came first; AP unaffected
+    assert p[-1] == pytest.approx(0.5)  # but precision drops
+
+
+def test_iou_threshold_boundary():
+    # Offset giving IoU ~ 1/3 in BEV and 3D: passes 0.25, fails 0.5.
+    gts = [_box("f0", "chair", [0, 0, 5], size=(1, 1, 1))]
+    dets = [_box("f0", "chair", [0.5, 0, 5], 0.9, size=(1, 1, 1))]
+    assert ap_lib.eval_det(dets, gts, iou_thresh=0.25)["chair"] == 1.0
+    assert ap_lib.eval_det(dets, gts, iou_thresh=0.5)["chair"] == 0.0
+
+
+def test_multiclass_map():
+    gts = [_box("f0", "chair", [0, 0, 5]), _box("f0", "bed", [5, 0, 5])]
+    dets = [_box("f0", "chair", [0, 0, 5], 0.9)]  # bed missed
+    out = ap_lib.eval_det(dets, gts)
+    assert out["chair"] == 1.0
+    assert out["bed"] == 0.0
+    assert out["mAP"] == pytest.approx(0.5)
+
+
+def test_voc07_metric_variant():
+    gts = [_box("f0", "chair", [0, 0, 5]), _box("f0", "chair", [30, 0, 5])]
+    dets = [_box("f0", "chair", [0, 0, 5], 0.9)]
+    out07 = ap_lib.eval_det(dets, gts, use_07_metric=True)
+    # recall 0.5 at precision 1: 11-pt AP = 6/11.
+    assert out07["chair"] == pytest.approx(6 / 11)
+
+
+def test_end_to_end_eval(tmp_path):
+    """Train 5 steps -> evaluate() -> files written, AP finite."""
+    from transferable3d_tpu.train import config as config_lib
+    from transferable3d_tpu.train import train_sup
+
+    cfg = config_lib.TrainConfig(
+        model="frustum_pointnets_v1", dataset="sunrgbd", num_point=64,
+        num_channels=4, batch_size=8, max_epoch=2, max_steps=4,
+        synthetic_train=16, synthetic_val=16, log_dir=str(tmp_path / "log"),
+        eval_every_epochs=100, ckpt_every_epochs=1)
+    train_sup.train(cfg)
+
+    result_dir = str(tmp_path / "result")
+    aps = test_lib.evaluate(cfg, result_dir)
+    assert "mAP" in aps and np.isfinite(aps["mAP"])
+    # Files written and parseable.
+    dets = test_lib.read_sunrgbd_results(f"{result_dir}/detections.txt")
+    assert len(dets) == 16
+    assert all(np.isfinite(d.center).all() for d in dets)
+
+
+def test_kitti_writer_format(tmp_path):
+    d = test_lib.Detection("000123", "Car", [1.0, 0.5, 10.0],
+                           [3.8, 1.6, 1.5], 0.3, 0.95,
+                           box2d=[100, 120, 300, 250])
+    out_dir = test_lib.write_kitti_results([d], str(tmp_path))
+    lines = open(f"{out_dir}/000123.txt").read().strip().split("\n")
+    assert len(lines) == 1
+    p = lines[0].split()
+    assert p[0] == "Car"
+    h, w, l = float(p[8]), float(p[9]), float(p[10])
+    assert (l, w, h) == (3.8, 1.6, 1.5)
+    # y at box bottom: cy + h/2.
+    assert float(p[12]) == pytest.approx(0.5 + 1.5 / 2)
+    assert float(p[14]) == pytest.approx(0.3)   # ry
+    assert float(p[15]) == pytest.approx(0.95)  # score

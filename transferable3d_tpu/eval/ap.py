@@ -1,0 +1,122 @@
+"""SUN-RGBD-style 3D detection AP evaluator (VOC protocol).
+
+Capability parity target: the reference's python evaluator (SURVEY.md
+C12, `eval_det`-style): per-class average precision at a 3D IoU
+threshold (0.25 for SUN-RGBD), greedy matching of detections to ground
+truth in descending score order, each GT matched at most once.
+
+Protocol details (classic VOC, as used by the F-PointNet lineage):
+  * detections across all frames of a class are sorted by confidence;
+  * each detection is matched to the best-IoU unmatched GT in its frame;
+  * TP if best IoU >= threshold and that GT is unmatched, else FP;
+  * AP = area under the interpolated precision-recall curve. Both the
+    continuous trapezoid-free VOC integral (default, matches the
+    lineage's `voc_ap` with use_07_metric=False) and the 11-point VOC07
+    variant are provided.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from transferable3d_tpu.core import box_np
+from transferable3d_tpu.core.geometry import box_corners_np
+
+
+class BoxDetection:
+    """One detection or GT box: corners [8,3] + score + class + frame."""
+
+    __slots__ = ("frame_id", "classname", "corners", "score")
+
+    def __init__(self, frame_id, classname, corners, score=1.0):
+        self.frame_id = frame_id
+        self.classname = classname
+        self.corners = np.asarray(corners, np.float32)
+        self.score = float(score)
+
+    @staticmethod
+    def from_params(frame_id, classname, center, size, heading, score=1.0):
+        return BoxDetection(frame_id, classname,
+                            box_corners_np(np.asarray(center, np.float32),
+                                           np.asarray(size, np.float32),
+                                           np.float32(heading)), score)
+
+
+def voc_ap(recall: np.ndarray, precision: np.ndarray,
+           use_07_metric: bool = False) -> float:
+    """AP from a PR curve (VOC integration)."""
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            p = precision[recall >= t].max() if (recall >= t).any() else 0.0
+            ap += p / 11.0
+        return float(ap)
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[0.0], precision, [0.0]])
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = max(mpre[i - 1], mpre[i])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def eval_det_cls(detections: Sequence[BoxDetection],
+                 groundtruths: Sequence[BoxDetection],
+                 iou_thresh: float = 0.25,
+                 use_07_metric: bool = False,
+                 bev: bool = False) -> Tuple[np.ndarray, np.ndarray, float]:
+    """(recall curve, precision curve, AP) for one class."""
+    gt_by_frame: Dict = defaultdict(list)
+    for g in groundtruths:
+        gt_by_frame[g.frame_id].append(g)
+    matched = {fid: np.zeros(len(gs), bool)
+               for fid, gs in gt_by_frame.items()}
+    npos = len(groundtruths)
+
+    dets = sorted(detections, key=lambda d: -d.score)
+    tp = np.zeros(len(dets))
+    fp = np.zeros(len(dets))
+    for i, d in enumerate(dets):
+        gts = gt_by_frame.get(d.frame_id, [])
+        best_iou, best_j = -1.0, -1
+        for j, g in enumerate(gts):
+            iou3d, ioubev = box_np.box3d_iou_np(d.corners, g.corners)
+            iou = ioubev if bev else iou3d
+            if iou > best_iou:
+                best_iou, best_j = iou, j
+        if best_iou >= iou_thresh and not matched[d.frame_id][best_j]:
+            tp[i] = 1.0
+            matched[d.frame_id][best_j] = True
+        else:
+            fp[i] = 1.0
+
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(fp)
+    recall = tp_cum / max(npos, 1)
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+    return recall, precision, voc_ap(recall, precision, use_07_metric)
+
+
+def eval_det(detections: Sequence[BoxDetection],
+             groundtruths: Sequence[BoxDetection],
+             iou_thresh: float = 0.25,
+             use_07_metric: bool = False,
+             bev: bool = False) -> Dict[str, float]:
+    """Per-class AP + 'mAP' over classes that have ground truth."""
+    classes = sorted({g.classname for g in groundtruths})
+    det_by_cls = defaultdict(list)
+    for d in detections:
+        det_by_cls[d.classname].append(d)
+    gt_by_cls = defaultdict(list)
+    for g in groundtruths:
+        gt_by_cls[g.classname].append(g)
+
+    out = {}
+    for c in classes:
+        _, _, ap = eval_det_cls(det_by_cls.get(c, []), gt_by_cls[c],
+                                iou_thresh, use_07_metric, bev)
+        out[c] = ap
+    out["mAP"] = float(np.mean([out[c] for c in classes])) if classes else 0.0
+    return out

@@ -142,6 +142,9 @@ def decode_box(end_points: Dict, cfg: bins_lib.BinConfig):
     sres = jnp.take_along_axis(end_points["size_residuals"],
                                scls[:, None, None], axis=1)[:, 0]
     size = bins_lib.class_to_size(scls, sres, cfg)
+    # Residuals are unconstrained; an undertrained net can emit negative
+    # sizes, which poison downstream corner/IoU math. Floor at 1 cm.
+    size = jnp.maximum(size, 0.01)
     return center, size, heading, hcls, scls
 
 
