@@ -1,0 +1,87 @@
+"""Ball-query grouping — TPU-native equivalent of reference op N2.
+
+Capability parity target: the reference's CUDA `tf_grouping` ops
+(`query_ball_point`, `group_point`, `knn_point` — SURVEY.md N2).
+Reformulated per the survey plan: a tiled pairwise-distance matrix
+(one [B, S, N] einsum that XLA maps onto the MXU) with a masked
+first-k selection — padded to a fixed `nsample` with repetition of the
+first in-radius point, mirroring the reference kernel's semantics
+(slots beyond the in-radius count repeat index 0 of the group).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[B, S, 3] x [B, N, 3] -> squared distances [B, S, N].
+
+    Expanded form keeps the cross term a single batched matmul (MXU);
+    the norms are rank-1 corrections fused by XLA.
+    """
+    cross = jnp.einsum("bsc,bnc->bsn", a, b,
+                       precision=jax.lax.Precision.HIGHEST)
+    na = jnp.sum(a * a, axis=-1)[:, :, None]
+    nb = jnp.sum(b * b, axis=-1)[:, None, :]
+    return jnp.maximum(na + nb - 2 * cross, 0.0)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def ball_query(centroids: jnp.ndarray, xyz: jnp.ndarray, radius: float,
+               nsample: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Indices [B, S, nsample] of <= nsample points within `radius` of each
+    centroid + count [B, S] of in-radius points.
+
+    First-k selection: among in-radius points, the lowest point indices
+    win (top_k on a score that decreases with index); pad slots repeat
+    the first hit. Centroids with zero hits fall back to the nearest
+    point (keeps downstream features finite; its relative offset is
+    still masked out by `group_points` callers via the count).
+    """
+    d2 = pairwise_sqdist(centroids, xyz)  # [B, S, N]
+    n = xyz.shape[1]
+    within = d2 <= radius * radius
+    count = jnp.sum(within, axis=-1).astype(jnp.int32)  # [B, S]
+
+    # Score: in-radius points keyed by -index (so earliest index first);
+    # out-of-radius points -inf.
+    neg_idx = -jnp.arange(n, dtype=jnp.float32)
+    score = jnp.where(within, neg_idx[None, None, :], -jnp.inf)
+    _, idx = jax.lax.top_k(score, min(nsample, n))  # [B, S, k]
+    if nsample > n:
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(idx[..., :1],
+                                   (*idx.shape[:2], nsample - n))], -1)
+
+    slot = jnp.arange(nsample)[None, None, :]
+    have = jnp.maximum(count, 1)[..., None]
+    first = idx[..., :1]
+    idx = jnp.where(slot < have, idx, first)
+    # Zero-hit fallback: nearest point.
+    nearest = jnp.argmin(d2, axis=-1).astype(idx.dtype)[..., None]
+    idx = jnp.where(count[..., None] == 0, nearest, idx)
+    return idx.astype(jnp.int32), count
+
+
+@partial(jax.jit, static_argnums=(3,))
+def knn_point(centroids: jnp.ndarray, xyz: jnp.ndarray, _unused: float,
+              k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest neighbors (reference `knn_point` variant): indices
+    [B, S, k] + distances [B, S, k]."""
+    d2 = pairwise_sqdist(centroids, xyz)
+    neg_d, idx = jax.lax.top_k(-d2, k)
+    return idx.astype(jnp.int32), -neg_d
+
+
+def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """points [B, N, C], idx [B, S, K] -> grouped [B, S, K, C]
+    (reference `group_point`, differentiable w.r.t. points)."""
+    b, s, k = idx.shape
+    flat = idx.reshape(b, s * k)
+    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    return out.reshape(b, s, k, points.shape[-1])

@@ -1,0 +1,290 @@
+"""Semi-supervised transfer training: BoxPC pretraining + weak-class losses.
+
+Capability parity target: SURVEY.md C14 / call stack §3.5 — the
+Transferable3D mechanism:
+
+  phase A: pretrain the BoxPC fit net on strong classes with perturbed
+           GT boxes (in-graph sampler, models/boxpc.py);
+  phase B: train the detector with
+             strong batches -> full supervised loss (§3.3), and
+             weak batches (2D box + class only) ->
+               * BoxPC fit-score maximization on the predicted box,
+               * BoxPC-refined box as a pseudo-label (stop-gradient),
+               * 2D reprojection consistency — expressed frustum-natively:
+                 the frustum cloud spans exactly the 2D box's angular
+                 extent, so matching the predicted corners' angular span
+                 (x/z, y/z bounds) to the cloud's span IS the projection
+                 constraint, no intrinsics needed,
+               * per-class mean-size prior.
+
+Both phases are single fused jit steps; BoxPC is frozen (stop_gradient +
+never updated) during phase B.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from transferable3d_tpu.core import bins as bins_lib
+from transferable3d_tpu.core import geometry
+from transferable3d_tpu.models import boxpc as boxpc_lib
+from transferable3d_tpu.models import model_util
+from transferable3d_tpu.train import train_loop
+
+
+# ---------------------------------------------------------------------------
+# Phase A: BoxPC pretraining
+# ---------------------------------------------------------------------------
+
+def gt_boxes_from_batch(batch: Dict, cfg: bins_lib.BinConfig
+                        ) -> boxpc_lib.BoxParams:
+    heading = bins_lib.class_to_angle(
+        batch["heading_class"], batch["heading_residual"],
+        cfg.num_heading_bin)
+    size = bins_lib.class_to_size(
+        batch["size_class"], batch["size_residual"], cfg)
+    return boxpc_lib.BoxParams(center=batch["center"], size=size,
+                               heading=heading)
+
+
+def create_boxpc_state(model, cfg: bins_lib.BinConfig, tx,
+                       sample_batch: Dict, seed: int = 0
+                       ) -> train_loop.TrainState:
+    rng = jax.random.PRNGKey(seed)
+    p_rng, d_rng, s_rng = jax.random.split(rng, 3)
+    gt = gt_boxes_from_batch(sample_batch, cfg)
+
+    @jax.jit
+    def init_fn(points, gt):
+        return model.init({"params": p_rng, "dropout": d_rng},
+                          points, gt, train=False)
+
+    variables = init_fn(sample_batch["points"], gt)
+    return train_loop.TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]), rng=s_rng)
+
+
+def make_boxpc_train_step(model, cfg: bins_lib.BinConfig, tx,
+                          bn_schedule: Callable,
+                          fit_iou_thresh: float = 0.5):
+    """Fused BoxPC step: sample perturbations, label via in-graph IoU,
+    forward, loss, update."""
+
+    def step_fn(state: train_loop.TrainState, batch: Dict):
+        gt = gt_boxes_from_batch(batch, cfg)
+        rng = jax.random.fold_in(state.rng, state.step)
+        sample_rng, dropout_rng = jax.random.split(rng)
+        perturbed = boxpc_lib.sample_perturbed_boxes(sample_rng, gt)
+        targets = boxpc_lib.boxpc_targets(perturbed, gt, fit_iou_thresh)
+        bn_momentum = bn_schedule(state.step)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["points"], perturbed, train=True,
+                bn_momentum=bn_momentum, rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"])
+            losses = boxpc_lib.boxpc_loss(out, targets)
+            return losses["total_loss"], (losses, updates)
+
+        grads, (losses, updates) = jax.grad(loss_fn, has_aux=True)(
+            state.params)
+        upd, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        new_state = train_loop.TrainState(
+            step=state.step + 1, params=new_params,
+            batch_stats=updates["batch_stats"], opt_state=new_opt,
+            rng=state.rng)
+        return new_state, losses
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Phase B: weak-class losses
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class WeakLossWeights:
+    fit: float = 1.0
+    refine: float = 1.0
+    reprojection: float = 1.0
+    size_prior: float = 0.5
+
+
+def differentiable_box(end_points: Dict, cfg: bins_lib.BinConfig
+                       ) -> boxpc_lib.BoxParams:
+    """Predicted box with gradients through center + residuals.
+
+    Bin *selection* is argmax (stop-grad, straight-through style): the
+    scores are trained by the strong-class CE; weak losses shape the
+    residuals and center.
+    """
+    nh = cfg.num_heading_bin
+    hcls = jax.lax.stop_gradient(
+        jnp.argmax(end_points["heading_scores"], axis=-1))
+    hres = jnp.take_along_axis(end_points["heading_residuals"],
+                               hcls[:, None], axis=1)[:, 0]
+    heading = hcls.astype(jnp.float32) * (2 * jnp.pi / nh) + hres
+    scls = jax.lax.stop_gradient(
+        jnp.argmax(end_points["size_scores"], axis=-1))
+    sres = jnp.take_along_axis(end_points["size_residuals"],
+                               scls[:, None, None], axis=1)[:, 0]
+    mean_sizes = jnp.asarray(cfg.mean_size_array())
+    size = jnp.maximum(mean_sizes[scls] + sres, 0.01)
+    return boxpc_lib.BoxParams(center=end_points["center"], size=size,
+                               heading=heading)
+
+
+def angular_span_loss(corners: jnp.ndarray, points: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """2D-reprojection consistency in frustum coordinates.
+
+    corners [B, 8, 3] of the predicted box; points [B, N, C] the frustum
+    cloud (which by construction fills the 2D box). Matches the (x/z,
+    y/z) angular bounds — identical constraint to projecting with the
+    camera matrix, since pixel coords are monotone in these ratios.
+    """
+    def spans(xyz):
+        z = jnp.maximum(xyz[..., 2], 0.5)  # frustums look down +Z
+        az = xyz[..., 0] / z
+        el = xyz[..., 1] / z
+        return (jnp.min(az, axis=1), jnp.max(az, axis=1),
+                jnp.min(el, axis=1), jnp.max(el, axis=1))
+
+    ca = spans(corners)
+    pa = spans(points[..., :3])
+    err = sum(jnp.abs(c - p) for c, p in zip(ca, pa)) / 4.0
+    d = 1.0
+    q = jnp.minimum(err, d)
+    return jnp.mean(0.5 * q ** 2 + d * (err - q))
+
+
+def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
+                boxpc_variables, cfg: bins_lib.BinConfig,
+                weights: WeakLossWeights = WeakLossWeights()
+                ) -> Dict[str, jnp.ndarray]:
+    """Transferable supervision for weak (2D-only) examples."""
+    box = differentiable_box(end_points, cfg)
+    frozen = jax.lax.stop_gradient(boxpc_variables)
+    out = boxpc_model.apply(frozen, batch["points"], box, train=False)
+
+    # (a) maximize BoxPC fit probability of the predicted box.
+    logit = out["fit_logit"]
+    fit_loss = jnp.mean(jax.nn.softplus(-logit))  # -log sigmoid, stable
+
+    # (b) BoxPC-refined box as pseudo-label.
+    refined = jax.lax.stop_gradient(boxpc_lib.apply_deltas(box, out))
+
+    def huber(x, d=1.0):
+        a = jnp.abs(x)
+        q = jnp.minimum(a, d)
+        return jnp.mean(0.5 * q ** 2 + d * (a - q))
+
+    refine_loss = (huber(box.center - refined.center)
+                   + huber(box.heading - refined.heading)
+                   + huber(jnp.log(box.size / refined.size)))
+
+    # (c) 2D reprojection consistency via angular spans.
+    corners = geometry.box_corners(box.center, box.size, box.heading)
+    reproj_loss = angular_span_loss(corners, batch["points"])
+
+    # (d) per-class mean-size prior (normalized).
+    mean_sizes = jnp.asarray(cfg.mean_size_array())
+    prior = mean_sizes[batch["class_idx"]]
+    size_prior_loss = huber((box.size - prior) / prior)
+
+    total = (weights.fit * fit_loss + weights.refine * refine_loss
+             + weights.reprojection * reproj_loss
+             + weights.size_prior * size_prior_loss)
+    return {
+        "weak_total_loss": total,
+        "weak_fit_loss": fit_loss,
+        "weak_refine_loss": refine_loss,
+        "weak_reproj_loss": reproj_loss,
+        "weak_size_prior_loss": size_prior_loss,
+        "weak_fit_prob": jnp.mean(jax.nn.sigmoid(logit)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Phase B: fused semi-supervised train step
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class SemisupState:
+    detector: train_loop.TrainState
+    boxpc_params: Any
+    boxpc_batch_stats: Any
+
+
+def make_semisup_train_step(detector_model, boxpc_model,
+                            cfg: bins_lib.BinConfig, tx,
+                            lr_schedule: Callable, bn_schedule: Callable,
+                            weak_weight: float = 1.0,
+                            weights: WeakLossWeights = WeakLossWeights(),
+                            step_cfg: train_loop.StepConfig =
+                            train_loop.StepConfig()):
+    """One jit: supervised loss on the strong batch + weak losses on the
+    weak batch, single gradient step on the detector."""
+
+    def step_fn(state: SemisupState, strong: Dict, weak: Dict
+                ) -> Tuple[SemisupState, Dict]:
+        det = state.detector
+        labels = train_loop.labels_from_batch(strong)
+        bn_momentum = bn_schedule(det.step)
+        rng = jax.random.fold_in(det.rng, det.step)
+        r_strong, r_weak = jax.random.split(rng)
+        boxpc_vars = {"params": state.boxpc_params,
+                      "batch_stats": state.boxpc_batch_stats}
+
+        def loss_fn(params):
+            ep_s, upd = detector_model.apply(
+                {"params": params, "batch_stats": det.batch_stats},
+                strong["points"], strong["one_hot"], train=True,
+                bn_momentum=bn_momentum, rngs={"dropout": r_strong},
+                mutable=["batch_stats"])
+            sup = model_util.get_loss(
+                ep_s, labels, cfg,
+                box_loss_weight=step_cfg.box_loss_weight,
+                corner_loss_weight=step_cfg.corner_loss_weight)
+
+            ep_w, upd2 = detector_model.apply(
+                {"params": params, "batch_stats": upd["batch_stats"]},
+                weak["points"], weak["one_hot"], train=True,
+                bn_momentum=bn_momentum, rngs={"dropout": r_weak},
+                mutable=["batch_stats"])
+            wk = weak_losses(ep_w, weak, boxpc_model, boxpc_vars, cfg,
+                             weights)
+            total = sup["total_loss"] + weak_weight * wk["weak_total_loss"]
+            return total, ({**sup, **wk, "combined_loss": total}, upd2,
+                           ep_s)
+
+        grads, (losses, updates, ep_s) = jax.grad(
+            loss_fn, has_aux=True)(det.params)
+        upd, new_opt = tx.update(grads, det.opt_state, det.params)
+        new_params = optax.apply_updates(det.params, upd)
+
+        metrics = dict(losses)
+        metrics["lr"] = lr_schedule(det.step)
+        if step_cfg.compute_iou_metrics:
+            metrics.update(model_util.compute_metrics(ep_s, labels, cfg))
+
+        new_det = train_loop.TrainState(
+            step=det.step + 1, params=new_params,
+            batch_stats=updates["batch_stats"], opt_state=new_opt,
+            rng=det.rng)
+        return SemisupState(detector=new_det,
+                            boxpc_params=state.boxpc_params,
+                            boxpc_batch_stats=state.boxpc_batch_stats), \
+            metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))

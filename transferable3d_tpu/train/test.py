@@ -199,6 +199,13 @@ def evaluate(cfg: config_lib.TrainConfig, result_dir: str,
     dets = run_inference(model, state, val_ds, bins_cfg, cfg.batch_size)
     if cfg.dataset == "kitti":
         write_kitti_results(dets, result_dir)
+        gt_dir = os.environ.get("T3D_KITTI_GT_DIR", "")
+        if gt_dir:
+            # Official-protocol offline eval via the native binary (N4).
+            from transferable3d_tpu.eval import kitti_offline
+            offline = kitti_offline.evaluate_offline(gt_dir, result_dir)
+            for (c, m, d), v in sorted(offline.items()):
+                logger.log_string(f"kitti_eval {c} {m} {d}: {v:.2f}")
     write_sunrgbd_results(dets, result_dir)
 
     aps = ap_lib.eval_det(detections_to_eval_boxes(dets),

@@ -1,0 +1,253 @@
+"""Cross-category semi-supervised training driver (CLI: `t3d-train-semisup`).
+
+Capability parity target: the reference's semi-supervised driver
+(SURVEY.md C14, BASELINE.json config 4): strong classes carry full 3D
+supervision, weak classes only 2D boxes + class labels; the BoxPC net
+pretrained on strong classes transfers 3D box quality supervision to the
+weak classes.
+
+Phases:
+  A. pretrain BoxPC on the strong split (perturbed GT boxes, in-graph);
+  B. train the detector on interleaved (strong, weak) batch pairs with
+     the fused semi-supervised step (train/semisup.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transferable3d_tpu.core import bins as bins_lib
+from transferable3d_tpu.data import synthetic
+from transferable3d_tpu.data.provider import FrustumDataset
+from transferable3d_tpu.models import registry
+from transferable3d_tpu.models.boxpc import BoxPCFitNet
+from transferable3d_tpu.parallel import mesh as mesh_lib
+from transferable3d_tpu.train import config as config_lib
+from transferable3d_tpu.train import schedules, semisup, train_loop
+from transferable3d_tpu.utils.checkpoint import CheckpointManager
+from transferable3d_tpu.utils.logging import Logger
+
+DEFAULT_STRONG = ("bed", "table", "sofa", "chair")
+DEFAULT_WEAK = ("toilet", "desk", "dresser", "night_stand", "bookshelf",
+                "bathtub")
+
+
+@dataclasses.dataclass
+class SemisupConfig(config_lib.TrainConfig):
+    strong_classes: Tuple[str, ...] = DEFAULT_STRONG
+    weak_classes: Tuple[str, ...] = DEFAULT_WEAK
+    boxpc_epochs: int = 20
+    weak_weight: float = 1.0
+    boxpc_restore: str = ""
+
+
+def _filter(records, cfg: bins_lib.BinConfig, classes: Sequence[str]):
+    keep = {cfg.class_index(c) for c in classes}
+    return [r for r in records if r.class_idx in keep]
+
+
+def build_semisup_datasets(cfg: SemisupConfig):
+    bins_cfg = cfg.bin_config()
+    if cfg.data_path:
+        from transferable3d_tpu.data import pickle_io
+        train_recs = pickle_io.load_records(cfg.data_path, split="train")
+        val_recs = pickle_io.load_records(cfg.data_path, split="val")
+    else:
+        train_recs = synthetic.make_dataset(
+            cfg.synthetic_train, bins_cfg, seed=cfg.seed,
+            extra_channels=cfg.num_channels - 3)
+        val_recs = synthetic.make_dataset(
+            cfg.synthetic_val, bins_cfg, seed=cfg.seed + 10_000,
+            extra_channels=cfg.num_channels - 3)
+
+    def ds(records, train=True):
+        return FrustumDataset(
+            records, bins_cfg, npoints=cfg.num_point,
+            rotate_to_center=True,
+            random_flip=cfg.random_flip and train,
+            random_shift=cfg.random_shift and train, seed=cfg.seed)
+
+    strong_train = ds(_filter(train_recs, bins_cfg, cfg.strong_classes))
+    weak_train = ds(_filter(train_recs, bins_cfg, cfg.weak_classes))
+    # Weak-class val keeps its 3D labels for AP evaluation only.
+    weak_val = ds(_filter(val_recs, bins_cfg, cfg.weak_classes),
+                  train=False)
+    return strong_train, weak_train, weak_val
+
+
+def pretrain_boxpc(cfg: SemisupConfig, strong_ds: FrustumDataset,
+                   logger: Logger):
+    bins_cfg = cfg.bin_config()
+    model = BoxPCFitNet(cfg=bins_cfg)
+    lr_sched = schedules.exponential_staircase_lr(
+        cfg.learning_rate, cfg.lr_decay_rate, cfg.lr_decay_samples,
+        cfg.batch_size, cfg.min_lr)
+    bn_sched = schedules.bn_momentum_schedule(
+        cfg.bn_init_decay, cfg.bn_decay_rate, cfg.bn_decay_samples,
+        cfg.batch_size, cfg.bn_decay_clip)
+    tx = train_loop.make_optimizer(lr_sched)
+    sample = strong_ds.get_batch(
+        list(range(min(cfg.batch_size, len(strong_ds)))))
+    state = semisup.create_boxpc_state(model, bins_cfg, tx, sample,
+                                       seed=cfg.seed)
+    ckpt = CheckpointManager(f"{cfg.log_dir}/boxpc_ckpt")
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+        logger.log_string(
+            f"boxpc: resumed from step {int(restored.step)}")
+        state = restored
+    step = semisup.make_boxpc_train_step(model, bins_cfg, tx, bn_sched)
+
+    steps_done = int(state.step)
+    target_steps = cfg.boxpc_epochs * max(
+        len(strong_ds) // cfg.batch_size, 1)
+    epoch = 0
+    while steps_done < target_steps:
+        for batch in strong_ds.epoch_batches(cfg.batch_size):
+            state, metrics = step(state, batch)
+            steps_done = int(state.step)
+            if steps_done >= target_steps:
+                break
+        logger.log_string(
+            f"boxpc epoch {epoch}: step={steps_done} "
+            f"loss={float(metrics['total_loss']):.4f} "
+            f"fit_acc={float(metrics['fit_accuracy']):.3f} "
+            f"pos={float(metrics['pos_fraction']):.2f}")
+        epoch += 1
+    ckpt.save(steps_done, jax.device_get(state))
+    ckpt.wait()
+    ckpt.close()
+    return model, state
+
+
+def train(cfg: SemisupConfig) -> dict:
+    logger = Logger(cfg.log_dir)
+    logger.log_string(f"semisup config: {dataclasses.asdict(cfg)}")
+    bins_cfg = cfg.bin_config()
+    strong_ds, weak_ds, weak_val = build_semisup_datasets(cfg)
+    logger.log_string(
+        f"strong={len(strong_ds)} weak={len(weak_ds)} "
+        f"weak_val={len(weak_val)}")
+
+    # Phase A.
+    boxpc_model, boxpc_state = pretrain_boxpc(cfg, strong_ds, logger)
+
+    # Phase B.
+    devices = (jax.devices()[:cfg.num_devices] if cfg.num_devices
+               else jax.devices())
+    mesh = mesh_lib.data_parallel_mesh(devices)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    detector = registry.get_model(cfg.model, bins_cfg, dtype=dtype)
+    lr_sched = schedules.exponential_staircase_lr(
+        cfg.learning_rate, cfg.lr_decay_rate, cfg.lr_decay_samples,
+        cfg.batch_size, cfg.min_lr)
+    bn_sched = schedules.bn_momentum_schedule(
+        cfg.bn_init_decay, cfg.bn_decay_rate, cfg.bn_decay_samples,
+        cfg.batch_size, cfg.bn_decay_clip)
+    tx = train_loop.make_optimizer(lr_sched)
+    sample = strong_ds.get_batch(
+        list(range(min(cfg.batch_size, len(strong_ds)))))
+    det_state = train_loop.create_train_state(detector, bins_cfg, tx,
+                                              sample, seed=cfg.seed)
+    state = semisup.SemisupState(
+        detector=det_state, boxpc_params=boxpc_state.params,
+        boxpc_batch_stats=boxpc_state.batch_stats)
+    state = mesh_lib.replicate(state, mesh)
+    step = semisup.make_semisup_train_step(
+        detector, boxpc_model, bins_cfg, tx, lr_sched, bn_sched,
+        weak_weight=cfg.weak_weight)
+    eval_step = train_loop.make_eval_step(detector, bins_cfg)
+
+    ckpt = CheckpointManager(f"{cfg.log_dir}/ckpt")
+    last_eval = {}
+    stop = False
+    for epoch in range(cfg.max_epoch):
+        if stop:
+            break
+        t0, seen = time.time(), 0
+        weak_rng = np.random.RandomState(cfg.seed + epoch)
+
+        def next_weak(it):
+            # Weak splits can be smaller than a batch (few weak-class
+            # frustums): fall back to sampling with replacement.
+            if len(weak_ds) < cfg.batch_size:
+                idxs = weak_rng.randint(0, len(weak_ds), cfg.batch_size)
+                return it, weak_ds.get_batch(list(idxs))
+            try:
+                return it, next(it)
+            except StopIteration:
+                it = iter(weak_ds.epoch_batches(cfg.batch_size))
+                return it, next(it)
+
+        weak_iter = iter(weak_ds.epoch_batches(cfg.batch_size))
+        for strong_batch in strong_ds.epoch_batches(cfg.batch_size):
+            weak_iter, weak_batch = next_weak(weak_iter)
+            state, metrics = step(
+                state, mesh_lib.shard_batch(strong_batch, mesh),
+                mesh_lib.shard_batch(weak_batch, mesh))
+            seen += 2 * cfg.batch_size
+            if cfg.max_steps and int(state.detector.step) >= cfg.max_steps:
+                stop = True
+                break
+        dt = time.time() - t0
+        m = {k: float(v) for k, v in metrics.items()}
+        logger.log_metrics(int(state.detector.step), m, "train")
+        logger.log_string(
+            f"epoch {epoch}: step={int(state.detector.step)} "
+            f"sup={m['total_loss']:.3f} weak={m['weak_total_loss']:.3f} "
+            f"fit_prob={m['weak_fit_prob']:.3f} "
+            f"({seen / max(dt, 1e-9):.1f} frustums/s)")
+
+        if epoch % cfg.eval_every_epochs == 0 or stop:
+            agg = []
+            for batch in weak_val.epoch_batches(cfg.batch_size,
+                                                shuffle=False):
+                agg.append({k: float(v) for k, v in eval_step(
+                    state.detector,
+                    mesh_lib.shard_batch(batch, mesh)).items()})
+            if agg:
+                last_eval = {k: float(np.mean([x[k] for x in agg]))
+                             for k in agg[0]}
+                logger.log_metrics(int(state.detector.step), last_eval,
+                                   "weak_val")
+                logger.log_string(
+                    f"  weak-val: iou3d_ge_025="
+                    f"{last_eval.get('iou3d_ge_025', 0):.3f} "
+                    f"iou3d={last_eval.get('iou3d_mean', 0):.3f}")
+        if epoch % cfg.ckpt_every_epochs == 0 or stop:
+            ckpt.save(int(state.detector.step),
+                      jax.device_get(state.detector))
+    ckpt.wait()
+    ckpt.close()
+    logger.close()
+    return last_eval
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    config_lib.add_cli_args(parser)
+    parser.add_argument("--strong_classes",
+                        default=",".join(DEFAULT_STRONG))
+    parser.add_argument("--weak_classes", default=",".join(DEFAULT_WEAK))
+    parser.add_argument("--boxpc_epochs", type=int, default=20)
+    parser.add_argument("--weak_weight", type=float, default=1.0)
+    args = parser.parse_args()
+    base = config_lib.config_from_args(args)
+    cfg = SemisupConfig(
+        **dataclasses.asdict(base),
+        strong_classes=tuple(args.strong_classes.split(",")),
+        weak_classes=tuple(args.weak_classes.split(",")),
+        boxpc_epochs=args.boxpc_epochs,
+        weak_weight=args.weak_weight)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
