@@ -1,0 +1,121 @@
+"""On-device frustum preprocessing tests: parity with the host provider."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transferable3d_tpu.data import frustum_jit
+
+K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1]],
+             np.float32)
+
+
+def test_depth_lift_geometry():
+    depth = np.zeros((480, 640), np.float32)
+    depth[240, 320] = 4.0  # principal point
+    depth[240, 420] = 2.0  # 100px right of center
+    pts, valid = frustum_jit.depth_to_camera_points(
+        jnp.asarray(depth), jnp.asarray(K))
+    pts, valid = np.asarray(pts), np.asarray(valid)
+    assert valid.sum() == 2
+    i0 = 240 * 640 + 320
+    np.testing.assert_allclose(pts[i0], [0, 0, 4.0], atol=1e-5)
+    i1 = 240 * 640 + 420
+    np.testing.assert_allclose(pts[i1], [100 / 500 * 2, 0, 2.0], atol=1e-5)
+
+
+def test_frustum_sampling_and_rotation():
+    rng = np.random.RandomState(0)
+    depth = np.zeros((480, 640), np.float32)
+    # A blob of valid depth inside the box, nothing outside.
+    depth[200:280, 300:400] = rng.uniform(3.0, 4.0, (80, 100))
+    boxes = np.array([[300, 200, 400, 280],    # covers the blob
+                      [0, 0, 50, 50]],         # empty region
+                     np.float32)
+    out = frustum_jit.lift_depth_frustums(
+        jnp.asarray(depth), jnp.asarray(K), jnp.asarray(boxes), 256,
+        jax.random.PRNGKey(0))
+    assert out.points.shape == (2, 256, 3)
+    assert int(out.count[0]) == 80 * 100
+    assert int(out.count[1]) == 0
+    # Sampled points' depth in range.
+    z_range = np.asarray(out.points[0, :, 2])
+    # After rotation about Y, depth changes slightly; norms preserved.
+    pts0 = np.asarray(out.points[0])
+    norms = np.linalg.norm(pts0, axis=1)
+    assert (norms > 2.5).all() and (norms < 5.0).all()
+    # Rotation centers the frustum: mean lateral offset ~ 0.
+    assert abs(pts0[:, 0].mean()) < 0.2
+    assert np.isfinite(np.asarray(out.points)).all()
+
+
+def test_frustum_angle_matches_host_convention():
+    """Angle must equal the host extractor's -arctan2(x, z) of the center
+    ray (data/kitti.py frustum_angle_for_box)."""
+    from transferable3d_tpu.data.kitti import Calibration, frustum_angle_for_box
+
+    depth = np.full((480, 640), 5.0, np.float32)
+    box = np.array([[400, 200, 500, 300]], np.float32)
+    out = frustum_jit.lift_depth_frustums(
+        jnp.asarray(depth), jnp.asarray(K), jnp.asarray(box), 64,
+        jax.random.PRNGKey(0))
+    p2 = np.zeros((3, 4))
+    p2[:3, :3] = K
+    calib = Calibration(p2, np.eye(3), np.hstack([np.eye(3),
+                                                  np.zeros((3, 1))]))
+    want = frustum_angle_for_box(box[0], calib)
+    assert abs(float(out.frustum_angle[0]) - want) < 1e-4
+
+
+def test_sampling_without_replacement_when_enough():
+    depth = np.zeros((100, 100), np.float32)
+    depth[10:90, 10:90] = 5.0
+    box = np.array([[0, 0, 100, 100]], np.float32)
+    out = frustum_jit.lift_depth_frustums(
+        jnp.asarray(depth), jnp.asarray(K), jnp.asarray(box), 512,
+        jax.random.PRNGKey(1))
+    pts = np.asarray(out.points[0])
+    # 6400 valid pixels >> 512 samples: all sampled points unique.
+    uniq = np.unique(pts.round(5), axis=0)
+    assert uniq.shape[0] == 512
+
+
+def test_wrap_when_too_few():
+    depth = np.zeros((100, 100), np.float32)
+    depth[50, 50:60] = 5.0  # 10 valid pixels
+    box = np.array([[0, 0, 100, 100]], np.float32)
+    out = frustum_jit.lift_depth_frustums(
+        jnp.asarray(depth), jnp.asarray(K), jnp.asarray(box), 64,
+        jax.random.PRNGKey(2))
+    assert int(out.count[0]) == 10
+    pts = np.asarray(out.points[0])
+    uniq = np.unique(pts.round(5), axis=0)
+    assert uniq.shape[0] == 10  # cyclic repetition of the 10 pixels
+
+
+def test_point_cloud_variant_matches_host_crop():
+    """crop_point_frustums must select exactly the host-extractor's
+    in-box points (modulo sampling)."""
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(-5, 5, (2000, 4)).astype(np.float32)
+    pts[:, 2] = np.abs(pts[:, 2]) + 2.0
+    u = K[0, 0] * pts[:, 0] / pts[:, 2] + K[0, 2]
+    v = K[1, 1] * pts[:, 1] / pts[:, 2] + K[1, 2]
+    box = np.array([250.0, 180.0, 400.0, 300.0], np.float32)
+    inside = ((u >= box[0]) & (u < box[2]) & (v >= box[1]) & (v < box[3]))
+
+    out = frustum_jit.crop_point_frustums(
+        jnp.asarray(pts), jnp.asarray(K), jnp.asarray(box[None]), 128,
+        jax.random.PRNGKey(0))
+    assert int(out.count[0]) == int(inside.sum())
+    # Every sampled point must be one of the inside points (rotate back
+    # to compare).
+    from transferable3d_tpu.core.geometry import rotate_points_y_np
+    sampled = np.asarray(out.points[0])
+    unrot = rotate_points_y_np(sampled[None, :, :3],
+                               -float(out.frustum_angle[0]))[0]
+    inside_set = {tuple(np.round(p, 3)) for p in pts[inside][:, :3]}
+    hits = sum(tuple(np.round(p, 3)) in inside_set for p in unrot)
+    assert hits >= 120  # allow a few rounding misses
+    # Extra channel carried through.
+    assert sampled.shape == (128, 4)

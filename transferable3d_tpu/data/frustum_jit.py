@@ -1,0 +1,127 @@
+"""Fused on-device frustum preprocessing (the BASELINE.json north-star).
+
+Capability parity target: the reference's *offline, host-side* frustum
+extraction (SURVEY.md C2/C3, call stack §3.1 — "HOT LOOP (host CPU,
+hours)"). Rebuilt as a single jit-compiled pass per BASELINE.json:
+"2D box + depth map -> frustum point cloud -> frustum-frame rotation ->
+fixed-size point sampling", so training can consume raw depth maps with
+zero host preprocessing.
+
+Everything is shape-static:
+  * depth [H, W] lifts to a dense point grid (invalid depths masked);
+  * per 2D box: in-box mask; `npoints` sampled among masked pixels by
+    top-k over random keys (uniform without replacement), wrapping
+    cyclically when the frustum has fewer than `npoints` pixels —
+    identical semantics to the host provider's resample-with-replacement;
+  * frustum angle from the box-center ray; points rotated about +Y so
+    that ray hits +Z — bit-matching `provider.rotate_to_center`.
+
+vmap over the boxes of one frame; jit once per (H, W, npoints) shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transferable3d_tpu.core import geometry
+
+
+class FrustumBatch(NamedTuple):
+    points: jnp.ndarray         # [B, npoints, C] rotated to frustum frame
+    frustum_angle: jnp.ndarray  # [B]
+    count: jnp.ndarray          # [B] number of valid pixels in the frustum
+
+
+def depth_to_camera_points(depth: jnp.ndarray, K: jnp.ndarray
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Depth [H, W] (meters; <=0 invalid) -> (points [H*W, 3], valid).
+
+    Camera frame: X right, Y down, Z forward (our canonical frame).
+    """
+    h, w = depth.shape
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    z = depth
+    x = (u - K[0, 2]) * z / K[0, 0]
+    y = (v - K[1, 2]) * z / K[1, 1]
+    pts = jnp.stack([x, y, z], axis=-1).reshape(h * w, 3)
+    valid = (depth > 1e-6).reshape(h * w)
+    return pts, valid
+
+
+def _sample_in_box(pts: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
+                   box2d: jnp.ndarray, K: jnp.ndarray, npoints: int,
+                   rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                            jnp.ndarray]:
+    """One frustum: mask pixels in box2d, sample npoints, rotate."""
+    inside = (valid
+              & (uv[:, 0] >= box2d[0]) & (uv[:, 0] < box2d[2])
+              & (uv[:, 1] >= box2d[1]) & (uv[:, 1] < box2d[3]))
+    count = jnp.sum(inside.astype(jnp.int32))
+
+    # Uniform sampling without replacement among masked pixels: top-k of
+    # random keys, -inf outside the mask; cyclic wrap when count<npoints.
+    n = pts.shape[0]
+    keys = jax.random.uniform(rng, (n,))
+    score = jnp.where(inside, keys, -jnp.inf)
+    k_eff = min(npoints, n)
+    _, idx = jax.lax.top_k(score, k_eff)
+    slot = jnp.arange(npoints)
+    wrapped = jnp.mod(slot, jnp.clip(count, 1, k_eff))
+    idx = jnp.take(idx, jnp.minimum(wrapped, k_eff - 1))
+    sampled = jnp.take(pts, idx, axis=0)  # [npoints, C]
+
+    # Frustum angle from the 2D box center ray (unit depth).
+    cu = (box2d[0] + box2d[2]) / 2.0
+    cv = (box2d[1] + box2d[3]) / 2.0
+    rx = (cu - K[0, 2]) / K[0, 0]
+    angle = -jnp.arctan2(rx, 1.0)
+
+    xyz = geometry.rotate_points_y(sampled[None, :, :3], angle[None])[0]
+    sampled = jnp.concatenate([xyz, sampled[:, 3:]], axis=-1)
+    return sampled, angle, count
+
+
+@partial(jax.jit, static_argnums=(3,))
+def lift_depth_frustums(depth: jnp.ndarray, K: jnp.ndarray,
+                        boxes2d: jnp.ndarray, npoints: int,
+                        rng: jax.Array) -> FrustumBatch:
+    """Depth map [H, W] + boxes2d [B, 4] -> FrustumBatch (one jit pass)."""
+    pts, valid = depth_to_camera_points(depth, K)
+    h, w = depth.shape
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+    uv = jnp.stack([u, v], axis=-1)
+
+    b = boxes2d.shape[0]
+    rngs = jax.random.split(rng, b)
+    points, angles, counts = jax.vmap(
+        lambda box, r: _sample_in_box(pts, uv, valid, box, K, npoints, r)
+    )(boxes2d, rngs)
+    return FrustumBatch(points=points, frustum_angle=angles, count=counts)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def crop_point_frustums(points: jnp.ndarray, K: jnp.ndarray,
+                        boxes2d: jnp.ndarray, npoints: int,
+                        rng: jax.Array) -> FrustumBatch:
+    """Point-cloud variant (KITTI velodyne already in camera frame):
+    points [N, 3+C] -> FrustumBatch via on-device projection + crop."""
+    xyz = points[:, :3]
+    z = jnp.maximum(xyz[:, 2], 1e-6)
+    u = K[0, 0] * xyz[:, 0] / z + K[0, 2]
+    v = K[1, 1] * xyz[:, 1] / z + K[1, 2]
+    uv = jnp.stack([u, v], axis=-1)
+    valid = xyz[:, 2] > 1e-6
+
+    b = boxes2d.shape[0]
+    rngs = jax.random.split(rng, b)
+    out_points, angles, counts = jax.vmap(
+        lambda box, r: _sample_in_box(points, uv, valid, box, K, npoints,
+                                      r))(boxes2d, rngs)
+    return FrustumBatch(points=out_points, frustum_angle=angles,
+                        count=counts)
