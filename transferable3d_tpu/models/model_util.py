@@ -8,11 +8,11 @@ SURVEY.md Appendix A.
 
 TPU-first reformulation (SURVEY.md §7 hard-part 2): the reference's
 masking stage does a *dynamic* gather of the segmented object points
-(shape depends on the mask). Here it is shape-static: `lax.top_k` over the
-mask selects the first NUM_OBJECT_POINT masked indices (top_k on equal
-keys is index-stable), and slots beyond the masked count repeat the first
-masked point — matching the reference's pad-by-repetition semantics with
-fully static shapes so XLA can fuse the whole pipeline.
+(shape depends on the mask). Here it is shape-static: a cumsum-rank
+scatter selects the first NUM_OBJECT_POINT masked indices in order, and
+slots beyond the masked count wrap cyclically around the masked set —
+matching the reference's resample-with-replacement padding with fully
+static shapes so XLA can fuse the whole pipeline.
 """
 
 from __future__ import annotations
@@ -21,7 +21,6 @@ from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from transferable3d_tpu.core import bins as bins_lib
 from transferable3d_tpu.core import geometry
@@ -58,17 +57,26 @@ def point_cloud_masking(points: jnp.ndarray, seg_logits: jnp.ndarray,
     centroid = (jnp.sum(xyz * mask[..., None], axis=1)
                 / jnp.maximum(count, 1.0))  # [B, 3]
 
-    # Static top-k gather: masked indices first (stable for equal keys).
+    # Static first-k gather via cumsum + scatter (NOT top_k: top_k lowers
+    # to a full sort, which alone cost ~10% of the train step on v5e).
+    # rank[b, j] = position of point j among the masked points; scattering
+    # j into slot rank[b, j] yields the first-k masked indices in order.
     k = num_object_point
-    n = mask.shape[1]
+    b, n = mask.shape
     k_eff = min(k, n)
-    _, idx = jax.lax.top_k(mask, k_eff)  # [B, k_eff]
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1  # [B, N]
+    valid = (mask > 0) & (rank < k_eff)
+    slots = jnp.where(valid, rank, k_eff)  # park non-selected out of range
+    point_ids = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+    idx = jnp.zeros((b, k_eff), jnp.int32).at[
+        jnp.arange(b)[:, None], slots].set(point_ids, mode="drop")
     n_masked = count.astype(jnp.int32)  # [B, 1]
     # Cyclic pad-by-repetition: slots past the masked count wrap around the
     # masked set (reference resamples with replacement when short); an
     # all-empty mask degrades to point 0 + centroid 0, mirroring the
     # reference's empty-mask fallback.
-    slot = jnp.broadcast_to(jnp.arange(k)[None, :], (mask.shape[0], k))
+    slot = jnp.broadcast_to(jnp.arange(k)[None, :], (b, k))
     wrapped = jnp.mod(slot, jnp.clip(n_masked, 1, k_eff))
     idx = jnp.take_along_axis(idx, wrapped, axis=1)  # [B, k]
     obj = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # [B, k, 3]
@@ -160,6 +168,23 @@ def huber_loss(error: jnp.ndarray, delta: float) -> jnp.ndarray:
     return jnp.mean(0.5 * quad ** 2 + delta * lin)
 
 
+def int_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Mean softmax CE with integer labels, gather-free.
+
+    `take_along_axis`-based CE (optax's formulation) lowers to a scalar-
+    unit gather — ~12 ns/element on v5e, 1.6 ms alone for the [B, N]
+    seg labels. With <= a few dozen classes, a one-hot contraction is
+    pure VPU and effectively free.
+    """
+    num_classes = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    picked = jnp.sum(logits * one_hot, axis=-1)
+    return jnp.mean(logz - picked)
+
+
 class Labels(NamedTuple):
     """Ground-truth for the supervised loss (provider output, C4)."""
     seg: jnp.ndarray              # [B, N] int {0,1}
@@ -187,8 +212,7 @@ def get_loss(end_points: Dict, labels: Labels, cfg: bins_lib.BinConfig,
     nh, ns = cfg.num_heading_bin, cfg.num_size_cluster
 
     # Segmentation CE over [B, N, 2].
-    seg_loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-        end_points["seg_logits"], labels.seg))
+    seg_loss = int_cross_entropy(end_points["seg_logits"], labels.seg)
 
     # Center losses: huber on the Euclidean distance (not per-coord).
     def dist_huber(pred, gt, delta):
@@ -199,9 +223,8 @@ def get_loss(end_points: Dict, labels: Labels, cfg: bins_lib.BinConfig,
     stage1_loss = dist_huber(end_points["stage1_center"], labels.center, 1.0)
 
     # Heading bin CE + residual huber at the GT bin.
-    heading_cls_loss = jnp.mean(
-        optax.softmax_cross_entropy_with_integer_labels(
-            end_points["heading_scores"], labels.heading_class))
+    heading_cls_loss = int_cross_entropy(
+        end_points["heading_scores"], labels.heading_class)
     h_onehot = jax.nn.one_hot(labels.heading_class, nh)
     hres_pred = jnp.sum(
         end_points["heading_residuals_normalized"] * h_onehot, axis=1)
@@ -209,9 +232,8 @@ def get_loss(end_points: Dict, labels: Labels, cfg: bins_lib.BinConfig,
     heading_res_loss = huber_loss(hres_pred - hres_gt, 1.0)
 
     # Size cluster CE + residual huber at the GT cluster.
-    size_cls_loss = jnp.mean(
-        optax.softmax_cross_entropy_with_integer_labels(
-            end_points["size_scores"], labels.size_class))
+    size_cls_loss = int_cross_entropy(
+        end_points["size_scores"], labels.size_class)
     s_onehot = jax.nn.one_hot(labels.size_class, ns)  # [B, NS]
     sres_pred = jnp.sum(
         end_points["size_residuals_normalized"] * s_onehot[..., None], axis=1)

@@ -181,8 +181,13 @@ def make_predict_step(model, cfg: bins_lib.BinConfig):
 
 
 def make_optimizer(lr_schedule, clip_norm: Optional[float] = None):
-    """Adam with the reference's defaults (TF1 AdamOptimizer eps=1e-8)."""
+    """Adam with the reference's defaults (TF1 AdamOptimizer eps=1e-8).
+
+    Wrapped in optax.flatten: the update runs on one concatenated vector
+    instead of one op per parameter leaf — the per-leaf form contributed
+    hundreds of microsecond-scale ops per step on TPU.
+    """
     tx = optax.adam(lr_schedule, eps=1e-8)
     if clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
-    return tx
+    return optax.flatten(tx)
