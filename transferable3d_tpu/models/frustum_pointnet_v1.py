@@ -37,15 +37,18 @@ class InstanceSegNetV1(nn.Module):
     """Per-point foreground/background logits. [B,N,C],[B,K] -> [B,N,2]."""
 
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, points, one_hot, *, train: bool, bn_momentum):
         b, n, _ = points.shape
         x = points.astype(self.dtype)
-        x = PointMLP([64, 64], dtype=self.dtype, name="mlp1")(
+        x = PointMLP([64, 64], dtype=self.dtype, fused=self.fused,
+                     name="mlp1")(
             x, train=train, bn_momentum=bn_momentum)
         point_feat = x  # [B, N, 64]
-        x = PointMLP([64, 128, 1024], dtype=self.dtype, name="mlp2")(
+        x = PointMLP([64, 128, 1024], dtype=self.dtype, fused=self.fused,
+                     name="mlp2")(
             x, train=train, bn_momentum=bn_momentum)
         global_feat = masked_max_pool(x)  # [B, 1024]
 
@@ -67,7 +70,8 @@ class InstanceSegNetV1(nn.Module):
                                dtype=self.dtype, name="mlp3_bn")(
                                    x, bn_momentum)
         x = nn.relu(x)
-        x = PointMLP([256, 128, 128], dtype=self.dtype, name="mlp3")(
+        x = PointMLP([256, 128, 128], dtype=self.dtype, fused=self.fused,
+                     name="mlp3")(
             x, train=train, bn_momentum=bn_momentum)
         x = nn.Dropout(0.5, deterministic=not train, name="dp")(x)
         logits = nn.Dense(2, dtype=jnp.float32, param_dtype=jnp.float32,
@@ -79,10 +83,12 @@ class TNet(nn.Module):
     """Center-regression network: object points -> delta-center [B, 3]."""
 
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, obj_points, one_hot, *, train: bool, bn_momentum):
-        x = PointMLP([128, 128, 256], dtype=self.dtype, name="mlp")(
+        x = PointMLP([128, 128, 256], dtype=self.dtype, fused=self.fused,
+                     name="mlp")(
             obj_points.astype(self.dtype), train=train,
             bn_momentum=bn_momentum)
         x = masked_max_pool(x)  # [B, 256]
@@ -96,10 +102,12 @@ class BoxEstimationNetV1(nn.Module):
 
     cfg: bins_lib.BinConfig
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, obj_points, one_hot, *, train: bool, bn_momentum):
-        x = PointMLP([128, 128, 256, 512], dtype=self.dtype, name="mlp")(
+        x = PointMLP([128, 128, 256, 512], dtype=self.dtype,
+                     fused=self.fused, name="mlp")(
             obj_points.astype(self.dtype), train=train,
             bn_momentum=bn_momentum)
         x = masked_max_pool(x)  # [B, 512]
@@ -112,29 +120,38 @@ class BoxEstimationNetV1(nn.Module):
 class FrustumPointNetV1(nn.Module):
     """Full 3-stage pipeline. Returns the `end_points` dict (reference
     `get_model` convention, SURVEY.md L2): seg_logits, mask, stage1_center,
-    center, heading/size scores + residuals."""
+    center, heading/size scores + residuals.
+
+    `fused=True` runs the shared-MLP layers through the Pallas
+    matmul+BN-stats kernel (identical math elsewhere). Default OFF:
+    end-to-end v5e profiling showed the kernel's custom-VJP boundary
+    breaks XLA's surrounding fusions (18.4 vs 13.6 ms/step) — the win
+    needs normalize+relu and the backward inside the kernel too; tracked
+    for a later round."""
 
     cfg: bins_lib.BinConfig
     dtype: Any = jnp.float32
     num_object_point: int = model_util.NUM_OBJECT_POINT
+    fused: bool = False
 
     @nn.compact
     def __call__(self, points, one_hot, *, train: bool,
                  bn_momentum=0.9) -> Dict[str, jnp.ndarray]:
-        seg_logits = InstanceSegNetV1(dtype=self.dtype, name="seg_net")(
+        seg_logits = InstanceSegNetV1(dtype=self.dtype, fused=self.fused,
+                                      name="seg_net")(
             points, one_hot, train=train, bn_momentum=bn_momentum)
 
         masked = model_util.point_cloud_masking(
             points, seg_logits, self.num_object_point)
 
-        delta_c1 = TNet(dtype=self.dtype, name="tnet")(
+        delta_c1 = TNet(dtype=self.dtype, fused=self.fused, name="tnet")(
             masked.object_points, one_hot, train=train,
             bn_momentum=bn_momentum)
         stage1_center = delta_c1 + masked.mask_centroid
 
         obj_recentered = masked.object_points - delta_c1[:, None, :]
         box_out = BoxEstimationNetV1(cfg=self.cfg, dtype=self.dtype,
-                                     name="box_net")(
+                                     fused=self.fused, name="box_net")(
             obj_recentered, one_hot, train=train, bn_momentum=bn_momentum)
 
         end_points = model_util.parse_box_output(box_out, self.cfg)

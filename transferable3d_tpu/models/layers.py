@@ -66,20 +66,92 @@ class ScheduledBatchNorm(nn.Module):
         return y.astype(dtype)
 
 
+def on_tpu() -> bool:
+    import jax
+
+    return any("TPU" in d.device_kind for d in jax.devices())
+
+
+class FusedPointLayer(nn.Module):
+    """Dense + BatchNorm(train) + ReLU with single-pass fused statistics.
+
+    Training forward runs the Pallas `linear_with_stats` kernel on TPU
+    (matmul + per-column sum/sumsq in one VMEM pass — no separate
+    activation read for BN stats); elsewhere, a pure-jnp twin with
+    identical math. Eval uses running stats and a plain matmul.
+    """
+
+    features: int
+    epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, bn_momentum) -> jnp.ndarray:
+        from transferable3d_tpu.ops import fused_linear
+
+        c, f = x.shape[-1], self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (c, f), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (f,),
+                           jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (f,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(f, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(f, jnp.float32))
+
+        lead = x.shape[:-1]
+        m = 1
+        for d in lead:
+            m *= d
+        x2 = x.reshape(m, c).astype(self.dtype)
+
+        if train:
+            if on_tpu():
+                y2, stats = fused_linear.linear_with_stats(
+                    x2, kernel, bias, False)
+            else:
+                y2, stats = fused_linear.linear_with_stats_ref(
+                    x2, kernel, bias)
+            mean = stats[0] / m
+            var = jnp.maximum(stats[1] / m - mean * mean, 0.0)
+            if not self.is_initializing():
+                mom = jnp.asarray(bn_momentum, jnp.float32)
+                ra_mean.value = mom * ra_mean.value + (1 - mom) * mean
+                ra_var.value = mom * ra_var.value + (1 - mom) * var
+        else:
+            y2 = (x2 @ kernel.astype(x2.dtype)
+                  + bias.astype(x2.dtype)[None, :])
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon)) * scale
+        out = (y2.astype(jnp.float32) - mean) * inv + beta
+        return nn.relu(out).astype(self.dtype).reshape(*lead, f)
+
+
 class PointMLP(nn.Module):
     """Shared per-point MLP stack over [B, N, C] (reference: 1x1 conv2d).
 
     Each layer: Dense -> ScheduledBatchNorm -> ReLU. `bn_momentum` is the
-    scheduled momentum (traced).
+    scheduled momentum (traced). With `fused=True` (the TPU default set
+    by the models), layers run as FusedPointLayer — same math, one-pass
+    Pallas matmul+stats in training.
     """
 
     features: Sequence[int]
     use_bn: bool = True
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool, bn_momentum) -> jnp.ndarray:
         for i, f in enumerate(self.features):
+            if self.fused and self.use_bn:
+                x = FusedPointLayer(f, dtype=self.dtype,
+                                    name=f"fused_{i}")(
+                    x, train=train, bn_momentum=bn_momentum)
+                continue
             x = nn.Dense(f, dtype=self.dtype, param_dtype=jnp.float32,
                          name=f"dense_{i}")(x)
             if self.use_bn:
