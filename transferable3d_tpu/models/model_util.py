@@ -198,7 +198,8 @@ class Labels(NamedTuple):
 def get_loss(end_points: Dict, labels: Labels, cfg: bins_lib.BinConfig,
              box_loss_weight: float = 1.0,
              corner_loss_weight: float = 10.0,
-             seg_weight: float = 1.0) -> Dict[str, jnp.ndarray]:
+             seg_weight: float = 1.0,
+             example_weights: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
     """Multi-task loss, SURVEY.md Appendix A:
 
       total = seg_CE + w_box * (center_huber(d=2) + stage1_huber(d=1)
@@ -208,38 +209,66 @@ def get_loss(end_points: Dict, labels: Labels, cfg: bins_lib.BinConfig,
     corner loss = min over (GT heading, GT heading + pi) of the mean
     corner distance, computed at the GT (heading bin, size cluster) slot
     of the full corner grid (arXiv:1711.08488 corner-loss definition).
+
+    `example_weights` [B] (optional) down-weights / masks examples — used
+    by the on-device depth pipeline for padding frustums (weight 0).
     """
     nh, ns = cfg.num_heading_bin, cfg.num_size_cluster
+    b = labels.center.shape[0]
+    w = (jnp.ones(b, jnp.float32) if example_weights is None
+         else example_weights.astype(jnp.float32))
+    denom = jnp.maximum(jnp.sum(w), 1e-6)
+
+    def wmean(per_example):  # [B] -> weighted scalar
+        return jnp.sum(per_example * w) / denom
+
+    def whuber(err, delta):
+        a = jnp.abs(err)
+        q = jnp.minimum(a, delta)
+        per = 0.5 * q ** 2 + delta * (a - q)
+        if per.ndim > 1:  # mean over trailing dims first
+            per = jnp.mean(per.reshape(per.shape[0], -1), axis=1)
+        return wmean(per)
+
+    def wce(logits, lab):
+        logits = logits.astype(jnp.float32)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.sum(
+            logits * jax.nn.one_hot(lab, logits.shape[-1]), axis=-1)
+        per = logz - picked
+        if per.ndim > 1:
+            per = jnp.mean(per, axis=tuple(range(1, per.ndim)))
+        return wmean(per)
 
     # Segmentation CE over [B, N, 2].
-    seg_loss = int_cross_entropy(end_points["seg_logits"], labels.seg)
+    seg_loss = wce(end_points["seg_logits"], labels.seg)
 
     # Center losses: huber on the Euclidean distance (not per-coord).
     def dist_huber(pred, gt, delta):
         d = jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1) + 1e-12)
-        return huber_loss(d, delta)
+        return whuber(d, delta)
 
     center_loss = dist_huber(end_points["center"], labels.center, 2.0)
     stage1_loss = dist_huber(end_points["stage1_center"], labels.center, 1.0)
 
     # Heading bin CE + residual huber at the GT bin.
-    heading_cls_loss = int_cross_entropy(
+    heading_cls_loss = wce(
         end_points["heading_scores"], labels.heading_class)
     h_onehot = jax.nn.one_hot(labels.heading_class, nh)
     hres_pred = jnp.sum(
         end_points["heading_residuals_normalized"] * h_onehot, axis=1)
     hres_gt = labels.heading_residual / (jnp.pi / nh)
-    heading_res_loss = huber_loss(hres_pred - hres_gt, 1.0)
+    heading_res_loss = whuber(hres_pred - hres_gt, 1.0)
 
     # Size cluster CE + residual huber at the GT cluster.
-    size_cls_loss = int_cross_entropy(
+    size_cls_loss = wce(
         end_points["size_scores"], labels.size_class)
     s_onehot = jax.nn.one_hot(labels.size_class, ns)  # [B, NS]
     sres_pred = jnp.sum(
         end_points["size_residuals_normalized"] * s_onehot[..., None], axis=1)
     mean_sizes = jnp.asarray(cfg.mean_size_array())
     sres_gt = labels.size_residual / mean_sizes[labels.size_class]
-    size_res_loss = huber_loss(sres_pred - sres_gt, 1.0)
+    size_res_loss = whuber(sres_pred - sres_gt, 1.0)
 
     # Corner loss at the GT (bin, cluster) slot; min over heading flip.
     corners_grid = get_box3d_corners_grid(end_points["center"], end_points,
@@ -258,7 +287,7 @@ def get_loss(end_points: Dict, labels: Labels, cfg: bins_lib.BinConfig,
     d_flip = jnp.sqrt(
         jnp.sum((pred_corners - gt_corners_flip) ** 2, axis=-1) + 1e-12)
     corner_dist = jnp.minimum(jnp.mean(d, axis=1), jnp.mean(d_flip, axis=1))
-    corner_loss = huber_loss(corner_dist, 1.0)
+    corner_loss = whuber(corner_dist, 1.0)
 
     box_loss = (center_loss + stage1_loss + heading_cls_loss + size_cls_loss
                 + 20.0 * heading_res_loss + 20.0 * size_res_loss

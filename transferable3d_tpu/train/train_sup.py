@@ -105,17 +105,37 @@ def train(cfg: config_lib.TrainConfig) -> dict:
                                             bn_sched, step_cfg)
     eval_step = train_loop.make_eval_step(model, bins_cfg, step_cfg)
 
+    # Failure handling (SURVEY.md §5.3): checkpoint on SIGTERM/SIGINT so a
+    # preemption resumes from the current step instead of the last epoch.
+    import signal
+
+    interrupted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        interrupted["flag"] = True
+        logger.log_string(f"signal {signum}: checkpointing and stopping")
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except ValueError:
+            pass  # not in the main thread
+
     last_eval = {}
     stop = False
     for epoch in range(cfg.max_epoch):
         if stop:
             break
         t0, seen = time.time(), 0
-        for batch in train_ds.epoch_batches(cfg.batch_size):
-            state, metrics = train_step(
-                state, mesh_lib.shard_batch(batch, mesh))
+        from transferable3d_tpu.utils.prefetch import prefetch
+        batches = prefetch(
+            train_ds.epoch_batches(cfg.batch_size),
+            device_put=lambda b: mesh_lib.shard_batch(b, mesh))
+        for batch in batches:
+            state, metrics = train_step(state, batch)
             seen += cfg.batch_size
-            if cfg.max_steps and int(state.step) >= cfg.max_steps:
+            if interrupted["flag"] or (
+                    cfg.max_steps and int(state.step) >= cfg.max_steps):
                 stop = True
                 break
         dt = time.time() - t0
