@@ -72,7 +72,25 @@ def main() -> None:
                    help="2D detections: 'frame cls prob x1 y1 x2 y2' lines")
     p.add_argument("--augment_x", type=int, default=5)
     p.add_argument("--classes", default="Car,Pedestrian,Cyclist")
+    p.add_argument("--demo", action="store_true",
+                   help="render the first extracted frustum to PNG "
+                        "(reference prepare_data.py --demo analog)")
     args = p.parse_args()
+
+    if args.demo:
+        ds = kitti.KittiObjectDataset(args.kitti_root, "training")
+        idx = _frame_ids(ds, args.train_idx)[0]
+        recs = kitti.extract_frustum_records(
+            ds, idx, type_whitelist=tuple(args.classes.split(",")))
+        assert recs, f"no frustums in frame {idx}"
+        from transferable3d_tpu.utils import viz
+        r = recs[0]
+        path = viz.draw_frustum(
+            r.points[:, :3], gt_box=(r.center, r.size, float(r.heading)),
+            seg=r.seg, path="demo_frustum.png",
+            title=f"frame {idx} ({bins_lib.KITTI.classes[r.class_idx]})")
+        print(f"demo: wrote {path}")
+        return
 
     whitelist = tuple(args.classes.split(","))
     os.makedirs(args.out_dir, exist_ok=True)
