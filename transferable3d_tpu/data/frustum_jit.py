@@ -22,7 +22,7 @@ vmap over the boxes of one frame; jit once per (H, W, npoints) shape.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ core/geometry.py). `pickle_io.py` converts the reference's pickle layout
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -18,7 +18,7 @@ Protocol details (classic VOC, as used by the F-PointNet lineage):
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 from transferable3d_tpu.core import bins as bins_lib
 
@@ -40,6 +40,10 @@ class TrainConfig:
     # runtime
     compute_dtype: str = "float32"       # float32 | bfloat16
     num_devices: int = 0                 # 0 => all local devices (DP mesh)
+    device_data: bool = False            # dataset resident in HBM,
+    max_points_device: int = 2048        # per-step sampling on device
+    grad_accum_steps: int = 1            # optax.MultiSteps microbatching
+    multihost: bool = False              # jax.distributed.initialize()
     # augmentation
     random_flip: bool = True
     random_shift: bool = True

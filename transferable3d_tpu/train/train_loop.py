@@ -16,7 +16,6 @@ compiled step:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax
@@ -180,14 +179,21 @@ def make_predict_step(model, cfg: bins_lib.BinConfig):
     return jax.jit(step_fn)
 
 
-def make_optimizer(lr_schedule, clip_norm: Optional[float] = None):
+def make_optimizer(lr_schedule, clip_norm: Optional[float] = None,
+                   grad_accum_steps: int = 1):
     """Adam with the reference's defaults (TF1 AdamOptimizer eps=1e-8).
 
     Wrapped in optax.flatten: the update runs on one concatenated vector
     instead of one op per parameter leaf — the per-leaf form contributed
     hundreds of microsecond-scale ops per step on TPU.
+
+    grad_accum_steps > 1 wraps in optax.MultiSteps (SURVEY.md §2.3
+    gradient-accumulation row): params update every k-th microbatch.
     """
     tx = optax.adam(lr_schedule, eps=1e-8)
     if clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
-    return optax.flatten(tx)
+    tx = optax.flatten(tx)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx

@@ -61,6 +61,10 @@ def build_datasets(cfg: config_lib.TrainConfig):
 
 
 def train(cfg: config_lib.TrainConfig) -> dict:
+    if cfg.multihost:
+        # Multi-host DCN mesh (SURVEY.md §2.3/§5.8): coordinator address
+        # etc. come from the standard JAX_COORDINATOR_* / TPU env vars.
+        jax.distributed.initialize()
     logger = Logger(cfg.log_dir)
     logger.log_string(f"config: {dataclasses.asdict(cfg)}")
     bins_cfg = cfg.bin_config()
@@ -84,7 +88,8 @@ def train(cfg: config_lib.TrainConfig) -> dict:
     bn_sched = schedules.bn_momentum_schedule(
         cfg.bn_init_decay, cfg.bn_decay_rate, cfg.bn_decay_samples,
         cfg.batch_size, cfg.bn_decay_clip)
-    tx = train_loop.make_optimizer(lr_sched)
+    tx = train_loop.make_optimizer(
+        lr_sched, grad_accum_steps=cfg.grad_accum_steps)
 
     sample = train_ds.get_batch(list(range(min(cfg.batch_size,
                                                len(train_ds)))))
@@ -104,6 +109,22 @@ def train(cfg: config_lib.TrainConfig) -> dict:
     train_step = train_loop.make_train_step(model, bins_cfg, tx, lr_sched,
                                             bn_sched, step_cfg)
     eval_step = train_loop.make_eval_step(model, bins_cfg, step_cfg)
+
+    # Optional HBM-resident dataset: per-step sampling/augmentation runs
+    # on device (data/device_dataset.py) — removes the host provider from
+    # the step critical path entirely.
+    device_iter = None
+    if cfg.device_data:
+        from transferable3d_tpu.data import device_dataset
+        dev_data = device_dataset.build_device_dataset(
+            train_ds.records, bins_cfg, max_points=cfg.max_points_device)
+        device_iter = device_dataset.DeviceEpochIterator(
+            dev_data, bins_cfg, cfg.batch_size, cfg.num_point,
+            seed=cfg.seed, random_flip=cfg.random_flip,
+            random_shift=cfg.random_shift)
+        logger.log_string(
+            f"device-resident dataset: {dev_data.num_records} records x "
+            f"{cfg.max_points_device} pts in HBM")
 
     # Failure handling (SURVEY.md §5.3): checkpoint on SIGTERM/SIGINT so a
     # preemption resumes from the current step instead of the last epoch.
@@ -127,10 +148,13 @@ def train(cfg: config_lib.TrainConfig) -> dict:
         if stop:
             break
         t0, seen = time.time(), 0
-        from transferable3d_tpu.utils.prefetch import prefetch
-        batches = prefetch(
-            train_ds.epoch_batches(cfg.batch_size),
-            device_put=lambda b: mesh_lib.shard_batch(b, mesh))
+        if device_iter is not None:
+            batches = device_iter.epoch()
+        else:
+            from transferable3d_tpu.utils.prefetch import prefetch
+            batches = prefetch(
+                train_ds.epoch_batches(cfg.batch_size),
+                device_put=lambda b: mesh_lib.shard_batch(b, mesh))
         for batch in batches:
             state, metrics = train_step(state, batch)
             seen += cfg.batch_size
@@ -138,6 +162,9 @@ def train(cfg: config_lib.TrainConfig) -> dict:
                     cfg.max_steps and int(state.step) >= cfg.max_steps):
                 stop = True
                 break
+        # Sync before reading the clock: dispatch is async, so without
+        # this the frustums/s counter measures enqueue time, not compute.
+        jax.block_until_ready(metrics["total_loss"])
         dt = time.time() - t0
         host_m = {k: float(v) for k, v in metrics.items()}
         logger.log_metrics(int(state.step), host_m, "train")

@@ -8,7 +8,7 @@ footprints, and a 3-view (BEV / front / side) frustum figure.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
