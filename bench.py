@@ -34,7 +34,7 @@ INNER_STEPS = 10   # lax.scan'd inside one jit: removes host-dispatch
 OUTER_CALLS = 4    # jitter from the TPU relay (observed ~30% run noise)
 
 
-def main() -> None:
+def main(mode: str = "train") -> None:
     import jax
 
     # Hardware RNG is ~3x cheaper than threefry for dropout mask bits on
@@ -64,6 +64,36 @@ def main() -> None:
     bn_sched = schedules.bn_momentum_schedule(batch_size=BATCH)
     tx = train_loop.make_optimizer(lr_sched)
     state = train_loop.create_train_state(model, cfg, tx, batch, seed=0)
+
+    if mode == "infer":
+        # Serving path: compiled predict step (forward + box decode).
+        predict = train_loop.make_predict_step(model, cfg)
+
+        def multi_infer(state, batch):
+            def body(_, i):
+                out = predict(state, batch)
+                return 0, out["center"][0, 0]
+            return jax.lax.scan(body, 0, None, length=INNER_STEPS)
+
+        multi_infer = jax.jit(multi_infer)
+        _, out = multi_infer(state, batch)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(OUTER_CALLS):
+            t0 = time.perf_counter()
+            _, out = multi_infer(state, batch)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        fps = BATCH * INNER_STEPS / min(times)
+        print(json.dumps({
+            "metric": "infer_frustums_per_sec",
+            "value": round(fps, 1),
+            "unit": "frustums/s",
+            "vs_baseline": round(fps / (TARGET_MULTIPLE * TF1_CPU_FPS_EST),
+                                 3),
+        }))
+        return
+
     # IoU metrics stay ON: the vectorized polygon clip made them free
     # (measured 16.15 ms with vs 16.16 ms without on v5e).
     step = train_loop.make_train_step(model, cfg, tx, lr_sched, bn_sched)
@@ -102,4 +132,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main("infer" if "--infer" in sys.argv else "train"))
