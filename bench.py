@@ -30,7 +30,7 @@ TARGET_MULTIPLE = 10.0
 BATCH = 128
 NPOINTS = 1024
 CHANNELS = 4
-INNER_STEPS = 10   # lax.scan'd inside one jit: removes host-dispatch
+INNER_STEPS = 20   # lax.scan inside one jit: removes host-dispatch jitter
 OUTER_CALLS = 4    # jitter from the TPU relay (observed ~30% run noise)
 
 
@@ -59,7 +59,9 @@ def main(mode: str = "train") -> None:
     batch = {k: np.concatenate([v] * reps, axis=0) for k, v in small.items()}
     batch = jax.device_put(batch)
 
-    model = FrustumPointNetV1(cfg=cfg, dtype=jnp.bfloat16)
+    import os
+    fused = os.environ.get("T3D_FUSED", "0") == "1"
+    model = FrustumPointNetV1(cfg=cfg, dtype=jnp.bfloat16, fused=fused)
     lr_sched = schedules.exponential_staircase_lr(batch_size=BATCH)
     bn_sched = schedules.bn_momentum_schedule(batch_size=BATCH)
     tx = train_loop.make_optimizer(lr_sched)

@@ -58,8 +58,8 @@ def test_custom_vjp_matches_reference_grad():
                                    rtol=2e-3, atol=2e-3)
 
 
-def test_fused_layer_matches_unfused_model():
-    """FusedPointLayer path == Dense+ScheduledBatchNorm path (same math,
+def test_fused_chain_matches_unfused_model():
+    """FusedPointMLP chain == Dense+ScheduledBatchNorm stack (same math,
     transplanted parameters)."""
     from transferable3d_tpu.models.layers import PointMLP
 
@@ -70,16 +70,18 @@ def test_fused_layer_matches_unfused_model():
     plain = PointMLP([32, 32], fused=False)
     vf = fused.init({"params": jax.random.PRNGKey(0)}, x, train=False,
                     bn_momentum=0.9)
-    # Transplant fused params into the plain layout.
-    pf = vf["params"]
+    # Transplant fused-chain params into the plain layout.
+    pf = vf["params"]["fused"]
     pp = {}
+    bs = {}
     for i in range(2):
-        pp[f"dense_{i}"] = {"kernel": pf[f"fused_{i}"]["kernel"],
-                            "bias": pf[f"fused_{i}"]["bias"]}
-        pp[f"bn_{i}"] = {"scale": pf[f"fused_{i}"]["scale"],
-                         "bias": pf[f"fused_{i}"]["beta"]}
-    bs = {f"bn_{i}": dict(vf["batch_stats"][f"fused_{i}"])
-          for i in range(2)}
+        pp[f"dense_{i}"] = {"kernel": pf[f"kernel_{i}"],
+                            "bias": pf[f"bias_{i}"]}
+        pp[f"bn_{i}"] = {"scale": pf[f"scale_{i}"],
+                         "bias": pf[f"beta_{i}"]}
+        bs[f"bn_{i}"] = {
+            "mean": vf["batch_stats"]["fused"][f"mean_{i}"],
+            "var": vf["batch_stats"]["fused"][f"var_{i}"]}
 
     # Train mode: batch-stat normalization must agree.
     out_f, upd_f = fused.apply(vf, x, train=True, bn_momentum=0.9,
@@ -92,7 +94,7 @@ def test_fused_layer_matches_unfused_model():
     # Running stats updated identically.
     for i in range(2):
         np.testing.assert_allclose(
-            np.asarray(upd_f["batch_stats"][f"fused_{i}"]["mean"]),
+            np.asarray(upd_f["batch_stats"]["fused"][f"mean_{i}"]),
             np.asarray(upd_p["batch_stats"][f"bn_{i}"]["mean"]),
             atol=1e-5)
 
@@ -102,6 +104,29 @@ def test_fused_layer_matches_unfused_model():
                         train=False, bn_momentum=0.9)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                atol=2e-5)
+
+    # Gradient parity through the chain (ref path on CPU).
+    def loss(mod, variables, params_override=None):
+        v = dict(variables)
+        if params_override is not None:
+            v = {"params": params_override,
+                 "batch_stats": variables["batch_stats"]}
+        out, _ = mod.apply(v, x, train=True, bn_momentum=0.9,
+                           mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    gf = jax.grad(lambda p: loss(fused, {"params": p,
+                                         "batch_stats": vf["batch_stats"]})
+                  )(vf["params"])
+    gp = jax.grad(lambda p: loss(plain, {"params": p,
+                                         "batch_stats": bs}))(pp)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(gf["fused"][f"kernel_{i}"]),
+            np.asarray(gp[f"dense_{i}"]["kernel"]), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(gf["fused"][f"scale_{i}"]),
+            np.asarray(gp[f"bn_{i}"]["scale"]), rtol=1e-4, atol=1e-4)
 
 
 def test_v1_model_fused_flag_toggles():

@@ -47,10 +47,9 @@ class InstanceSegNetV1(nn.Module):
                      name="mlp1")(
             x, train=train, bn_momentum=bn_momentum)
         point_feat = x  # [B, N, 64]
-        x = PointMLP([64, 128, 1024], dtype=self.dtype, fused=self.fused,
-                     name="mlp2")(
-            x, train=train, bn_momentum=bn_momentum)
-        global_feat = masked_max_pool(x)  # [B, 1024]
+        global_feat = PointMLP([64, 128, 1024], dtype=self.dtype,
+                               fused=self.fused, pool=True, name="mlp2")(
+            x, train=train, bn_momentum=bn_momentum)  # [B, 1024]
 
         # Reference: concat(point_feat, tile(global, one_hot)) -> 1x1 conv.
         # Dense(concat(pf, g)) == Dense_a(pf) + Dense_b(g) exactly (split
@@ -88,10 +87,9 @@ class TNet(nn.Module):
     @nn.compact
     def __call__(self, obj_points, one_hot, *, train: bool, bn_momentum):
         x = PointMLP([128, 128, 256], dtype=self.dtype, fused=self.fused,
-                     name="mlp")(
+                     pool=True, name="mlp")(
             obj_points.astype(self.dtype), train=train,
-            bn_momentum=bn_momentum)
-        x = masked_max_pool(x)  # [B, 256]
+            bn_momentum=bn_momentum)  # [B, 256]
         x = jnp.concatenate([x, one_hot.astype(self.dtype)], axis=-1)
         return MLPHead([256, 128], out_features=3, dtype=self.dtype,
                        name="head")(x, train=train, bn_momentum=bn_momentum)
@@ -107,10 +105,9 @@ class BoxEstimationNetV1(nn.Module):
     @nn.compact
     def __call__(self, obj_points, one_hot, *, train: bool, bn_momentum):
         x = PointMLP([128, 128, 256, 512], dtype=self.dtype,
-                     fused=self.fused, name="mlp")(
+                     fused=self.fused, pool=True, name="mlp")(
             obj_points.astype(self.dtype), train=train,
-            bn_momentum=bn_momentum)
-        x = masked_max_pool(x)  # [B, 512]
+            bn_momentum=bn_momentum)  # [B, 512]
         x = jnp.concatenate([x, one_hot.astype(self.dtype)], axis=-1)
         return MLPHead([512, 256], out_features=self.cfg.box_output_dim,
                        dtype=self.dtype, name="head")(

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -130,28 +131,112 @@ class FusedPointLayer(nn.Module):
         return nn.relu(out).astype(self.dtype).reshape(*lead, f)
 
 
+class FusedPointMLP(nn.Module):
+    """Whole shared-MLP stack as a chain of fused Pallas layers.
+
+    Each chain link (ops/fused_chain.bn_act_linear) computes
+    act(a*s + t) @ w + b AND the column stats in one VMEM pass; the
+    input BN of layer k is *folded* into (s, t) derived from layer
+    k-1's stats — normalize/relu never materialize in HBM, and the
+    custom backward kernel produces da/dw/db/ds/dt with all reductions
+    accumulated in VMEM. Non-TPU falls back to the identical-math jnp
+    twin (interpret-mode parity is covered by the kernel tests).
+    """
+
+    features: Sequence[int]
+    epsilon: float = 1e-3
+    pool: bool = False   # end with fused normalize->relu->max-pool over N
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, bn_momentum) -> jnp.ndarray:
+        from transferable3d_tpu.ops import fused_chain
+
+        lead = x.shape[:-1]
+        m = 1
+        for d in lead:
+            m *= d
+        a = x.reshape(m, x.shape[-1]).astype(self.dtype)
+        use_kernel = train and on_tpu()
+
+        s_in = jnp.ones(a.shape[-1], jnp.float32)
+        t_in = jnp.zeros(a.shape[-1], jnp.float32)
+        for i, f in enumerate(self.features):
+            k_in = a.shape[-1]
+            kernel = self.param(f"kernel_{i}",
+                                nn.initializers.lecun_normal(),
+                                (k_in, f), jnp.float32)
+            bias = self.param(f"bias_{i}", nn.initializers.zeros, (f,),
+                              jnp.float32)
+            scale = self.param(f"scale_{i}", nn.initializers.ones, (f,),
+                               jnp.float32)
+            beta = self.param(f"beta_{i}", nn.initializers.zeros, (f,),
+                              jnp.float32)
+            ra_mean = self.variable("batch_stats", f"mean_{i}",
+                                    lambda f=f: jnp.zeros(f, jnp.float32))
+            ra_var = self.variable("batch_stats", f"var_{i}",
+                                   lambda f=f: jnp.ones(f, jnp.float32))
+            apply_act = i > 0
+            if train:
+                if use_kernel:
+                    y, stats = fused_chain.bn_act_linear(
+                        a, s_in, t_in, kernel, bias, apply_act, False)
+                else:
+                    y, stats = fused_chain.bn_act_linear_ref(
+                        a, s_in, t_in, kernel, bias, apply_act)
+                mean = stats[0] / m
+                var = jnp.maximum(stats[1] / m - mean * mean, 0.0)
+                if not self.is_initializing():
+                    mom = jnp.asarray(bn_momentum, jnp.float32)
+                    ra_mean.value = mom * ra_mean.value + (1 - mom) * mean
+                    ra_var.value = mom * ra_var.value + (1 - mom) * var
+            else:
+                xin = (a.astype(jnp.float32) * s_in + t_in)
+                if apply_act:
+                    xin = jnp.maximum(xin, 0.0)
+                y = (xin.astype(self.dtype) @ kernel.astype(self.dtype)
+                     + bias.astype(self.dtype)[None, :])
+                mean, var = ra_mean.value, ra_var.value
+            s_in = scale * jax.lax.rsqrt(var + self.epsilon)
+            t_in = beta - mean * s_in
+            a = y
+
+        f_out = self.features[-1]
+        if self.pool:
+            # Fused normalize->relu->max-pool over the points axis: the
+            # raw chain output never round-trips HBM as a normalized
+            # tensor (BASELINE's "masked symmetric max-pool" kernel).
+            y3 = a.reshape(*lead, f_out)
+            if use_kernel:
+                pooled = fused_chain.bn_act_maxpool(y3, s_in, t_in, False)
+            else:
+                pooled = fused_chain.bn_act_maxpool_ref(y3, s_in, t_in)
+            return pooled.astype(self.dtype)
+        out = jnp.maximum(a.astype(jnp.float32) * s_in + t_in, 0.0)
+        return out.astype(self.dtype).reshape(*lead, f_out)
+
+
 class PointMLP(nn.Module):
     """Shared per-point MLP stack over [B, N, C] (reference: 1x1 conv2d).
 
     Each layer: Dense -> ScheduledBatchNorm -> ReLU. `bn_momentum` is the
-    scheduled momentum (traced). With `fused=True` (the TPU default set
-    by the models), layers run as FusedPointLayer — same math, one-pass
-    Pallas matmul+stats in training.
+    scheduled momentum (traced). With `fused=True`, the whole stack runs
+    as a FusedPointMLP chain of Pallas kernels (same math).
     """
 
     features: Sequence[int]
     use_bn: bool = True
     fused: bool = False
+    pool: bool = False   # end with a max-pool over axis 1 (points)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool, bn_momentum) -> jnp.ndarray:
+        if self.fused and self.use_bn:
+            return FusedPointMLP(self.features, pool=self.pool,
+                                 dtype=self.dtype, name="fused")(
+                x, train=train, bn_momentum=bn_momentum)
         for i, f in enumerate(self.features):
-            if self.fused and self.use_bn:
-                x = FusedPointLayer(f, dtype=self.dtype,
-                                    name=f"fused_{i}")(
-                    x, train=train, bn_momentum=bn_momentum)
-                continue
             x = nn.Dense(f, dtype=self.dtype, param_dtype=jnp.float32,
                          name=f"dense_{i}")(x)
             if self.use_bn:
@@ -159,6 +244,8 @@ class PointMLP(nn.Module):
                     use_running_average=not train, dtype=self.dtype,
                     name=f"bn_{i}")(x, bn_momentum)
             x = nn.relu(x)
+        if self.pool:
+            x = masked_max_pool(x)
         return x
 
 
