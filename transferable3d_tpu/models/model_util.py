@@ -57,30 +57,45 @@ def point_cloud_masking(points: jnp.ndarray, seg_logits: jnp.ndarray,
     centroid = (jnp.sum(xyz * mask[..., None], axis=1)
                 / jnp.maximum(count, 1.0))  # [B, 3]
 
-    # Static first-k gather via cumsum + scatter (NOT top_k: top_k lowers
-    # to a full sort, which alone cost ~10% of the train step on v5e).
-    # rank[b, j] = position of point j among the masked points; scattering
-    # j into slot rank[b, j] yields the first-k masked indices in order.
+    # Static first-k selection WITHOUT index gathers: TPU scalar-unit
+    # gathers/scatters cost ~10 ns/element (~1.5 ms/step for the index
+    # pipeline at bench shapes). Instead build a one-hot selection matrix
+    # from rank comparisons and contract it with the points on the MXU:
+    #   rank[b, j] = position of point j among the masked points,
+    #   wrapped[b, i] = i mod min(count, k)  (cyclic pad-by-repetition,
+    #       matching the reference's resample-with-replacement padding;
+    #       an all-empty mask degrades to point 0 + centroid 0),
+    #   sel[b, i, j] = mask[b, j] & (rank[b, j] == wrapped[b, i]),
+    #   obj = sel @ xyz.
+    # sel is exact one-hot (ranks are unique within a row), and the
+    # bf16 contraction is lossless: one operand is {0, 1} and xyz values
+    # pass through unchanged.
     k = num_object_point
     b, n = mask.shape
     k_eff = min(k, n)
     rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1  # [B, N]
-    valid = (mask > 0) & (rank < k_eff)
-    slots = jnp.where(valid, rank, k_eff)  # park non-selected out of range
-    point_ids = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
-    idx = jnp.zeros((b, k_eff), jnp.int32).at[
-        jnp.arange(b)[:, None], slots].set(point_ids, mode="drop")
+    rank = jnp.where(mask > 0, rank, -1)
     n_masked = count.astype(jnp.int32)  # [B, 1]
-    # Cyclic pad-by-repetition: slots past the masked count wrap around the
-    # masked set (reference resamples with replacement when short); an
-    # all-empty mask degrades to point 0 + centroid 0, mirroring the
-    # reference's empty-mask fallback.
-    slot = jnp.broadcast_to(jnp.arange(k)[None, :], (b, k))
-    wrapped = jnp.mod(slot, jnp.clip(n_masked, 1, k_eff))
-    idx = jnp.take_along_axis(idx, wrapped, axis=1)  # [B, k]
-    obj = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # [B, k, 3]
-    obj = obj - centroid[:, None, :]
+    wrapped = jnp.mod(jnp.arange(k, dtype=jnp.int32)[None, :],
+                      jnp.clip(n_masked, 1, k_eff))  # [B, k]
+    sel = (rank[:, None, :] == wrapped[:, :, None])  # [B, k, N] one-hot
+    # Empty mask: select point 0 everywhere (centroid is 0 there too).
+    sel = jnp.where(
+        (n_masked[..., None] == 0),
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2) == 0, sel)
+    sel_b = sel.astype(jnp.bfloat16)
+    # Exact selection via two bf16 matmuls: xyz = hi + lo with hi the
+    # bf16 rounding (coordinates at z~30 would lose ~0.12 m in plain
+    # bf16); each output row has exactly one nonzero term, so sel@hi +
+    # sel@lo reconstructs xyz to fp32 accuracy.
+    hi = xyz.astype(jnp.bfloat16)
+    lo = (xyz.astype(jnp.float32) - hi.astype(jnp.float32)).astype(
+        jnp.bfloat16)
+    obj = (jnp.einsum("bkn,bnc->bkc", sel_b, hi,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bkn,bnc->bkc", sel_b, lo,
+                        preferred_element_type=jnp.float32))
+    obj = obj.astype(xyz.dtype) - centroid[:, None, :]
     return MaskedPoints(object_points=obj, mask_centroid=centroid, mask=mask)
 
 
