@@ -286,10 +286,18 @@ def get_loss(end_points: Dict, labels: Labels, cfg: bins_lib.BinConfig,
     size_res_loss = whuber(sres_pred - sres_gt, 1.0)
 
     # Corner loss at the GT (bin, cluster) slot; min over heading flip.
-    corners_grid = get_box3d_corners_grid(end_points["center"], end_points,
-                                          cfg)  # [B,NH,NS,8,3]
-    sel = (h_onehot[:, :, None] * s_onehot[:, None, :])[..., None, None]
-    pred_corners = jnp.sum(corners_grid * sel, axis=(1, 2))  # [B, 8, 3]
+    # Only the GT slot of the reference's [B, NH, NS, 8, 3] corner grid
+    # carries gradient, so compute just that slot directly (the full
+    # grid cost ~0.7 ms/step fwd+bwd at bench shapes).
+    bin_centers = jnp.arange(nh, dtype=jnp.float32) * (2 * jnp.pi / nh)
+    pred_heading_at_gt = (jnp.sum(bin_centers[None] * h_onehot, axis=1)
+                          + jnp.sum(end_points["heading_residuals"]
+                                    * h_onehot, axis=1))  # [B]
+    pred_size_at_gt = (mean_sizes[labels.size_class]
+                       + jnp.sum(end_points["size_residuals"]
+                                 * s_onehot[..., None], axis=1))  # [B, 3]
+    pred_corners = geometry.box_corners(
+        end_points["center"], pred_size_at_gt, pred_heading_at_gt)
 
     gt_heading = bins_lib.class_to_angle(
         labels.heading_class, labels.heading_residual, nh)
