@@ -61,7 +61,12 @@ def main(mode: str = "train") -> None:
 
     import os
     fused = os.environ.get("T3D_FUSED", "0") == "1"
-    model = FrustumPointNetV1(cfg=cfg, dtype=jnp.bfloat16, fused=fused)
+    if os.environ.get("T3D_MODEL", "v1") == "v2":
+        from transferable3d_tpu.models.frustum_pointnet_v2 import (
+            FrustumPointNetV2)
+        model = FrustumPointNetV2(cfg=cfg, dtype=jnp.bfloat16)
+    else:
+        model = FrustumPointNetV1(cfg=cfg, dtype=jnp.bfloat16, fused=fused)
     lr_sched = schedules.exponential_staircase_lr(batch_size=BATCH)
     bn_sched = schedules.bn_momentum_schedule(batch_size=BATCH)
     tx = train_loop.make_optimizer(lr_sched)

@@ -178,3 +178,18 @@ def test_semisup_driver_smoke(tmp_path):
     out = train_semisup.train(cfg)
     assert np.isfinite(out.get("total_loss", 0.0))
     assert (tmp_path / "log_train.txt").exists()
+
+
+def test_semisup_driver_device_data(tmp_path):
+    from transferable3d_tpu.train import train_semisup
+
+    cfg = train_semisup.SemisupConfig(
+        model="frustum_pointnets_v1", num_point=64, num_channels=4,
+        batch_size=8, max_epoch=1, max_steps=2, boxpc_epochs=1,
+        synthetic_train=48, synthetic_val=16, log_dir=str(tmp_path),
+        eval_every_epochs=1, ckpt_every_epochs=1, device_data=True,
+        max_points_device=256,
+        strong_classes=("bed", "table", "sofa", "chair"),
+        weak_classes=("toilet", "desk", "dresser"))
+    out = train_semisup.train(cfg)
+    assert np.isfinite(out.get("total_loss", 0.0))

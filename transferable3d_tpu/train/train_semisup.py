@@ -166,6 +166,26 @@ def train(cfg: SemisupConfig) -> dict:
     eval_step = train_loop.make_eval_step(detector, bins_cfg)
 
     ckpt = CheckpointManager(f"{cfg.log_dir}/ckpt")
+
+    # Optional HBM-resident datasets: per-step sampling on device for
+    # both streams (see data/device_dataset.py).
+    strong_dev = weak_dev = None
+    if cfg.device_data:
+        from transferable3d_tpu.data import device_dataset
+        strong_dev = device_dataset.DeviceEpochIterator(
+            device_dataset.build_device_dataset(
+                strong_ds.records, bins_cfg,
+                max_points=cfg.max_points_device),
+            bins_cfg, cfg.batch_size, cfg.num_point, seed=cfg.seed,
+            random_flip=cfg.random_flip, random_shift=cfg.random_shift)
+        weak_dev = device_dataset.DeviceEpochIterator(
+            device_dataset.build_device_dataset(
+                weak_ds.records, bins_cfg,
+                max_points=cfg.max_points_device),
+            bins_cfg, cfg.batch_size, cfg.num_point, seed=cfg.seed + 1,
+            random_flip=cfg.random_flip, random_shift=cfg.random_shift)
+        logger.log_string("device-resident strong/weak datasets in HBM")
+
     last_eval = {}
     stop = False
     for epoch in range(cfg.max_epoch):
@@ -175,6 +195,12 @@ def train(cfg: SemisupConfig) -> dict:
         weak_rng = np.random.RandomState(cfg.seed + epoch)
 
         def next_weak(it):
+            if weak_dev is not None:
+                try:
+                    return it, next(it)
+                except StopIteration:
+                    it = iter(weak_dev.epoch())
+                    return it, next(it)
             # Weak splits can be smaller than a batch (few weak-class
             # frustums): fall back to sampling with replacement.
             if len(weak_ds) < cfg.batch_size:
@@ -186,8 +212,11 @@ def train(cfg: SemisupConfig) -> dict:
                 it = iter(weak_ds.epoch_batches(cfg.batch_size))
                 return it, next(it)
 
-        weak_iter = iter(weak_ds.epoch_batches(cfg.batch_size))
-        for strong_batch in strong_ds.epoch_batches(cfg.batch_size):
+        weak_iter = iter(weak_dev.epoch() if weak_dev is not None
+                         else weak_ds.epoch_batches(cfg.batch_size))
+        strong_batches = (strong_dev.epoch() if strong_dev is not None
+                          else strong_ds.epoch_batches(cfg.batch_size))
+        for strong_batch in strong_batches:
             weak_iter, weak_batch = next_weak(weak_iter)
             state, metrics = step(
                 state, mesh_lib.shard_batch(strong_batch, mesh),
