@@ -78,10 +78,24 @@ def knn_point(centroids: jnp.ndarray, xyz: jnp.ndarray, _unused: float,
     return idx.astype(jnp.int32), -neg_d
 
 
+def flat_row_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather [B, ...idx] rows from points [B, N, C] via a flattened
+    global-row gather.
+
+    `take_along_axis` on [B, N, C] lowers to per-channel minor-dim
+    gathers (~10 ns/scalar on v5e — 21 ms for one SA level's grouping);
+    a single row gather over the flattened [B*N, C] array keeps whole
+    C-wide rows together and lowers to an efficient major-dim gather.
+    """
+    b, n, c = points.shape
+    offsets = jnp.arange(b, dtype=idx.dtype) * n
+    flat_idx = (idx.reshape(b, -1)
+                + offsets[:, None]).reshape(-1)  # [B * prod(idx)]
+    rows = jnp.take(points.reshape(b * n, c), flat_idx, axis=0)
+    return rows.reshape(*idx.shape, c)
+
+
 def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """points [B, N, C], idx [B, S, K] -> grouped [B, S, K, C]
     (reference `group_point`, differentiable w.r.t. points)."""
-    b, s, k = idx.shape
-    flat = idx.reshape(b, s * k)
-    out = jnp.take_along_axis(points, flat[..., None], axis=1)
-    return out.reshape(b, s, k, points.shape[-1])
+    return flat_row_gather(points, idx)

@@ -49,10 +49,9 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     """features [B, N, C], idx/dist [B, M, 3] -> interpolated [B, M, C]
     with inverse-distance weights (reference normalization: w_i = (1/d_i)
     / sum_j (1/d_j), eps-guarded)."""
+    from transferable3d_tpu.ops.grouping import flat_row_gather
+
     w = 1.0 / jnp.maximum(dist, 1e-10)
     w = w / jnp.sum(w, axis=-1, keepdims=True)  # [B, M, 3]
-    b, m, _ = idx.shape
-    flat = idx.reshape(b, m * 3)
-    gathered = jnp.take_along_axis(features, flat[..., None], axis=1)
-    gathered = gathered.reshape(b, m, 3, features.shape[-1])
+    gathered = flat_row_gather(features, idx)   # [B, M, 3, C]
     return jnp.sum(gathered * w[..., None], axis=2)

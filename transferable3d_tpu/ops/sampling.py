@@ -50,4 +50,6 @@ def farthest_point_sample(xyz: jnp.ndarray, k: int) -> jnp.ndarray:
 def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """points [B, N, C], idx [B, S] -> [B, S, C] (reference `gather_point`,
     differentiable w.r.t. points)."""
-    return jnp.take_along_axis(points, idx[..., None], axis=1)
+    from transferable3d_tpu.ops.grouping import flat_row_gather
+
+    return flat_row_gather(points, idx)
