@@ -168,3 +168,25 @@ def test_v2_in_registry():
     assert "frustum_pointnets_v2" in registry.available()
     m = registry.get_model("frustum_pointnets_v2", CFG)
     assert m.cfg is CFG
+
+
+def test_fps_pallas_matches_scan():
+    """Pallas FPS kernel (interpret mode) == the XLA scan reference."""
+    from transferable3d_tpu.ops import sampling
+
+    rng = np.random.RandomState(11)
+    xyz = jnp.asarray(rng.uniform(-5, 5, (4, 256, 3)).astype(np.float32))
+    ref = sampling._fps_ref(xyz, 32)
+    ker = sampling._fps_pallas(xyz, 32, True)
+    np.testing.assert_array_equal(np.asarray(ker), np.asarray(ref))
+
+
+def test_fps_pallas_multi_tile():
+    from transferable3d_tpu.ops import sampling
+
+    rng = np.random.RandomState(12)
+    # Force tiling: large B*N so the VMEM budget splits the batch.
+    xyz = jnp.asarray(rng.uniform(-5, 5, (16, 512, 3)).astype(np.float32))
+    ref = sampling._fps_ref(xyz, 16)
+    ker = sampling._fps_pallas(xyz, 16, True)
+    np.testing.assert_array_equal(np.asarray(ker), np.asarray(ref))
