@@ -190,3 +190,37 @@ def test_fps_pallas_multi_tile():
     ref = sampling._fps_ref(xyz, 16)
     ker = sampling._fps_pallas(xyz, 16, True)
     np.testing.assert_array_equal(np.asarray(ker), np.asarray(ref))
+
+
+def test_ball_query_group_matches_gather_path():
+    """One-hot-matmul grouping == ball_query + group_points exactly."""
+    from transferable3d_tpu.ops.grouping import ball_query_group
+
+    rng = np.random.RandomState(13)
+    cent = jnp.asarray(rng.uniform(-2, 2, (2, 8, 3)).astype(np.float32))
+    xyz = jnp.asarray(rng.uniform(-2, 2, (2, 64, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(2, 64, 5)).astype(np.float32))
+    r, k = 1.0, 16
+
+    grouped, count = ball_query_group(cent, xyz, feats, r, k)
+    idx, count_ref = ball_query(cent, xyz, r, k)
+    ref = group_points(jnp.concatenate([xyz, feats], -1), idx)
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(count_ref))
+    # Slots below the in-radius count must match exactly; pad slots
+    # differ by convention (cyclic repetition vs repeat-first) — both are
+    # members of the ball, which is all the max-pool consumer needs.
+    g = np.asarray(grouped)
+    rf = np.asarray(ref)
+    cnt = np.asarray(count)
+    for b in range(g.shape[0]):
+        for si in range(g.shape[1]):
+            m = min(int(cnt[b, si]), k)
+            if m == 0:
+                m = 1  # nearest-point fallback fills slot 0
+            # hi/lo bf16 reconstruction is ~1e-4 accurate (lo is
+            # itself bf16-rounded).
+            np.testing.assert_allclose(g[b, si, :m], rf[b, si, :m],
+                                       atol=3e-4)
+            for row in g[b, si, m:]:
+                dmin = np.abs(rf[b, si, :m] - row).max(axis=1).min()
+                assert dmin < 1e-3  # pad slots repeat some member

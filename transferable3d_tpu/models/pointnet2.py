@@ -17,8 +17,9 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from transferable3d_tpu.models.layers import PointMLP
-from transferable3d_tpu.ops.grouping import ball_query, group_points
+from transferable3d_tpu.models.layers import PointMLP, on_tpu
+from transferable3d_tpu.ops.grouping import (ball_query, ball_query_group,
+                                             group_points)
 from transferable3d_tpu.ops.interpolate import three_interpolate, three_nn
 from transferable3d_tpu.ops.sampling import farthest_point_sample, gather_points
 
@@ -32,14 +33,26 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
     """
     fps_idx = farthest_point_sample(xyz, npoint)
     new_xyz = gather_points(xyz, fps_idx)
+    grouped = _group(new_xyz, xyz, features, radius, nsample)
+    return new_xyz, grouped
+
+
+def _group(new_xyz, xyz, features, radius, nsample):
+    """Grouped [B, S, K, 3+C] with centered xyz channels; the gather-free
+    one-hot-matmul path on TPU (scalar-unit gathers dominate otherwise),
+    classic ball_query + gather elsewhere."""
+    if on_tpu():
+        grouped_all, _ = ball_query_group(new_xyz, xyz, features, radius,
+                                          nsample)
+        return jnp.concatenate(
+            [grouped_all[..., :3] - new_xyz[:, :, None, :],
+             grouped_all[..., 3:]], axis=-1)
     idx, _ = ball_query(new_xyz, xyz, radius, nsample)
     grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
-    if features is not None:
-        grouped = jnp.concatenate(
-            [grouped_xyz, group_points(features, idx)], axis=-1)
-    else:
-        grouped = grouped_xyz
-    return new_xyz, grouped
+    if features is None:
+        return grouped_xyz
+    return jnp.concatenate(
+        [grouped_xyz, group_points(features, idx)], axis=-1)
 
 
 class SetAbstraction(nn.Module):
@@ -88,13 +101,7 @@ class SetAbstractionMSG(nn.Module):
         outs = []
         for i, (r, k, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
-            idx, _ = ball_query(new_xyz, xyz, r, k)
-            grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
-            if features is not None:
-                grouped = jnp.concatenate(
-                    [grouped_xyz, group_points(features, idx)], axis=-1)
-            else:
-                grouped = grouped_xyz
+            grouped = _group(new_xyz, xyz, features, r, k)
             x = PointMLP(mlp, dtype=self.dtype, name=f"mlp_{i}")(
                 grouped.astype(self.dtype), train=train,
                 bn_momentum=bn_momentum)
