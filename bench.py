@@ -18,6 +18,11 @@ pre-staged on device; first-step compile excluded.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Self-sufficient import: work without `pip install -e .` (fresh clones).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import json
 import sys
 import time
