@@ -1,0 +1,130 @@
+"""Transfer-effect study: seeds x ablations of the weak-class losses.
+
+Round-1 verdict item 3: "make the transfer effect undeniable" — run the
+semi-supervised driver on the HARD synthetic distribution (surface-only
+depth-sensor clouds, class-conditional partial shapes, occlusion) with
+>= 3 seeds for each variant:
+
+  transfer   — all four weak losses (fit / refine / reproj / size prior)
+  control    — weak_weight = 0 (strong classes only; no weak supervision)
+  no_fit / no_refine / no_reproj / no_prior — leave-one-out ablations
+
+and report mean +/- std of weak-class mAP@0.25 (full inference -> VOC AP
+pipeline, not the in-graph IoU proxy).
+
+Usage:  python scripts/transfer_study.py [--seeds 3] [--epochs 60]
+Writes results to transfer_study.json and prints a table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def run_one(variant: str, seed: int, args) -> dict:
+    import jax.numpy as jnp
+
+    from transferable3d_tpu.eval import ap as ap_lib
+    from transferable3d_tpu.models import registry
+    from transferable3d_tpu.train import schedules, train_loop
+    from transferable3d_tpu.train import test as test_lib
+    from transferable3d_tpu.train import train_semisup
+    from transferable3d_tpu.utils.checkpoint import CheckpointManager
+
+    weights = {"transfer": (1, 1, 1, 0.5), "control": (1, 1, 1, 0.5),
+               "no_fit": (0, 1, 1, 0.5), "no_refine": (1, 0, 1, 0.5),
+               "no_reproj": (1, 1, 0, 0.5), "no_prior": (1, 1, 1, 0.0)}
+    wf, wr, wp, ws = weights[variant]
+    log_dir = os.path.join(args.out_dir, f"{variant}_s{seed}")
+    cfg = train_semisup.SemisupConfig(
+        model="frustum_pointnets_v1", num_point=args.num_point,
+        num_channels=4, batch_size=args.batch_size,
+        max_epoch=args.epochs, boxpc_epochs=args.boxpc_epochs,
+        synthetic_train=args.train_size, synthetic_val=args.val_size,
+        synthetic_hard=True, compute_dtype="bfloat16",
+        device_data=True, max_points_device=1024,
+        log_dir=log_dir, seed=seed,
+        eval_every_epochs=20, ckpt_every_epochs=20,
+        weak_weight=0.0 if variant == "control" else args.weak_weight,
+        weak_fit=wf, weak_refine=wr, weak_reproj=wp, weak_size_prior=ws)
+
+    t0 = time.time()
+    train_semisup.train(cfg)
+    train_s = time.time() - t0
+
+    # Weak-class mAP@0.25 through the full inference + VOC AP pipeline.
+    bins_cfg = cfg.bin_config()
+    _, _, weak_val = train_semisup.build_semisup_datasets(cfg)
+    detector = registry.get_model(cfg.model, bins_cfg, dtype=jnp.bfloat16)
+    lr = schedules.exponential_staircase_lr(batch_size=cfg.batch_size)
+    tx = train_loop.make_optimizer(lr)
+    sample = weak_val.get_batch(
+        list(range(min(cfg.batch_size, len(weak_val)))))
+    template = train_loop.create_train_state(detector, bins_cfg, tx, sample)
+    ckpt = CheckpointManager(f"{cfg.log_dir}/ckpt")
+    state = ckpt.restore_latest(template)
+    ckpt.close()
+    assert state is not None, f"no ckpt in {cfg.log_dir}"
+    dets = test_lib.run_inference(detector, state, weak_val, bins_cfg,
+                                  cfg.batch_size)
+    aps = ap_lib.eval_det(test_lib.detections_to_eval_boxes(dets),
+                          test_lib.groundtruth_boxes(weak_val, bins_cfg),
+                          iou_thresh=0.25)
+    return {"variant": variant, "seed": seed, "mAP": aps["mAP"],
+            "per_class": {k: v for k, v in aps.items() if k != "mAP"},
+            "train_seconds": round(train_s, 1)}
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--boxpc_epochs", type=int, default=40)
+    p.add_argument("--train_size", type=int, default=2048)
+    p.add_argument("--val_size", type=int, default=512)
+    p.add_argument("--num_point", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--weak_weight", type=float, default=1.0)
+    p.add_argument("--variants", default="transfer,control,no_fit,"
+                                         "no_refine,no_reproj,no_prior")
+    p.add_argument("--out_dir", default="/tmp/transfer_study")
+    p.add_argument("--out_json", default="transfer_study.json")
+    args = p.parse_args()
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    results = []
+    if os.path.exists(args.out_json):  # resume
+        results = json.load(open(args.out_json))
+    done = {(r["variant"], r["seed"]) for r in results}
+    for variant in args.variants.split(","):
+        for seed in range(args.seeds):
+            if (variant, seed) in done:
+                continue
+            r = run_one(variant, seed, args)
+            results.append(r)
+            json.dump(results, open(args.out_json, "w"), indent=1)
+            print(f"[{variant} seed {seed}] mAP@0.25 = {r['mAP']:.4f} "
+                  f"({r['train_seconds']}s)", flush=True)
+
+    print("\n== summary (weak-class mAP@0.25, mean +/- std) ==")
+    by_var = {}
+    for r in results:
+        by_var.setdefault(r["variant"], []).append(r["mAP"])
+    base = np.mean(by_var.get("control", [0]))
+    for v, xs in sorted(by_var.items()):
+        print(f"{v:10s} {np.mean(xs):.4f} +/- {np.std(xs):.4f}  "
+              f"(delta vs control: {np.mean(xs) - base:+.4f}, n={len(xs)})")
+
+
+if __name__ == "__main__":
+    main()

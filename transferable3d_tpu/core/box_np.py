@@ -142,6 +142,126 @@ def box3d_iou_np(corners_a: np.ndarray, corners_b: np.ndarray
     return float(iou3d), float(iou_bev)
 
 
+def _clip_halfplane_np(verts: np.ndarray, count: np.ndarray,
+                       p1: np.ndarray, p2: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized Sutherland–Hodgman step against one clip edge.
+
+    verts [..., K, 2] (first `count` valid), count [...], edge p1->p2
+    [..., 2] with the polygon interior on the LEFT (CCW clip ring).
+    Tolerant inside test identical to `polygon_clip` (on-edge counts as
+    inside), so the batched path matches the scalar path bit-for-bit on
+    the golden fixtures.
+    """
+    k = verts.shape[-2]
+    idx = np.arange(k)
+    cnt = count[..., None]
+    active = idx < cnt
+    nxt = np.mod(idx + 1, np.maximum(cnt, 1))
+    p = verts
+    q = np.take_along_axis(verts, nxt[..., None], axis=-2)
+
+    e = p2 - p1  # [..., 2]
+    def signed(v):
+        return (e[..., None, 0] * (v[..., 1] - p1[..., None, 1])
+                - e[..., None, 1] * (v[..., 0] - p1[..., None, 0]))
+
+    def tol(v):
+        scale = ((np.abs(e[..., None, 0]) + np.abs(e[..., None, 1]))
+                 * (np.abs(v[..., 0] - p1[..., None, 0])
+                    + np.abs(v[..., 1] - p1[..., None, 1])) + 1e-12)
+        return 1e-9 * scale
+
+    dp, dq = signed(p), signed(q)
+    in_p = (dp >= -tol(p)) & active
+    in_q = dq >= -tol(q)
+    denom = dp - dq
+    denom = np.where(denom == 0, 1e-300, denom)
+    inter = p + (dp / denom)[..., None] * (q - p)
+    crossing = ((dp >= -tol(p)) != in_q) & active
+
+    # Emit [p_i (if inside), intersection_i (if crossing)] per edge and
+    # compact order-preservingly via cumsum target slots.
+    cand = np.stack([p, inter], axis=-2).reshape(*verts.shape[:-2], 2 * k, 2)
+    emit = np.stack([in_p, crossing], axis=-1).reshape(
+        *verts.shape[:-2], 2 * k)
+    pos = np.cumsum(emit, axis=-1) - 1
+    pos = np.where(emit, pos, 2 * k)  # park non-emissions in a spare slot
+    out = np.zeros((*verts.shape[:-2], 2 * k + 1, 2), verts.dtype)
+    np.put_along_axis(out, np.repeat(pos[..., None], 2, axis=-1), cand,
+                      axis=-2)
+    return out[..., :k, :], emit.sum(axis=-1).astype(np.int64)
+
+
+def box3d_iou_pairs_np(corners_a: np.ndarray, corners_b: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """All-pairs (3D IoU, BEV IoU): corners_a [M, 8, 3] x corners_b [N, 8, 3]
+    -> two [M, N] arrays.
+
+    Fully numpy-vectorized twin of `box3d_iou_np` (the per-pair scalar
+    clip is minutes-slow at real val-set scale — SURVEY.md C12 /
+    round-1 verdict item 8). Same tolerant inside test and the same
+    centered-frame conditioning, so results agree with the scalar path
+    to float64 round-off.
+    """
+    m, n = len(corners_a), len(corners_b)
+    if m == 0 or n == 0:
+        return np.zeros((m, n)), np.zeros((m, n))
+    a = np.asarray(corners_a, np.float64)
+    b = np.asarray(corners_b, np.float64)
+    pa = a[:, :4][:, :, [0, 2]]  # [M, 4, 2] BEV top faces
+    pb = b[:, :4][:, :, [0, 2]]
+
+    # Normalize clip rings to CCW (winding flips with 180-degree heading).
+    def signed_area(v):
+        x, z = v[..., 0], v[..., 1]
+        return 0.5 * (np.einsum("...k,...k->...", x, np.roll(z, -1, -1))
+                      - np.einsum("...k,...k->...", z, np.roll(x, -1, -1)))
+
+    pb = np.where(signed_area(pb)[:, None, None] < 0, pb[:, ::-1], pb)
+
+    # Pairwise grid, centered at the subject's mean (conditioning: the
+    # raw camera-frame solves are catastrophically ill-conditioned).
+    offset = pa.mean(axis=1)  # [M, 2]
+    subj = np.broadcast_to(pa[:, None], (m, n, 4, 2)) - offset[:, None,
+                                                               None]
+    clip = np.broadcast_to(pb[None], (m, n, 4, 2)) - offset[:, None, None]
+    verts = np.concatenate(
+        [subj, np.zeros((m, n, 4, 2))], axis=2)  # pad to 8 slots
+    count = np.full((m, n), 4, np.int64)
+    for e in range(4):
+        verts, count = _clip_halfplane_np(
+            verts, count, clip[:, :, e], clip[:, :, (e + 1) % 4])
+
+    # Masked shoelace over the first `count` vertices (centered already).
+    k = verts.shape[-2]
+    idx = np.arange(k)
+    nxt = np.mod(idx + 1, np.maximum(count[..., None], 1))
+    x, z = verts[..., 0], verts[..., 1]
+    xn = np.take_along_axis(x, nxt, axis=-1)
+    zn = np.take_along_axis(z, nxt, axis=-1)
+    valid = idx < count[..., None]
+    inter_area = 0.5 * np.abs(np.sum((x * zn - xn * z) * valid, axis=-1))
+
+    area_a = np.abs(signed_area(pa))  # [M]
+    area_b = np.abs(signed_area(pb))  # [N]
+    union_bev = np.maximum(area_a[:, None] + area_b[None] - inter_area,
+                           1e-8)
+    iou_bev = inter_area / union_bev
+
+    ya_min, ya_max = a[..., 1].min(-1), a[..., 1].max(-1)  # [M]
+    yb_min, yb_max = b[..., 1].min(-1), b[..., 1].max(-1)  # [N]
+    h_overlap = np.maximum(
+        np.minimum(ya_max[:, None], yb_max[None])
+        - np.maximum(ya_min[:, None], yb_min[None]), 0.0)
+    inter_vol = inter_area * h_overlap
+    vol_a = area_a * (ya_max - ya_min)
+    vol_b = area_b * (yb_max - yb_min)
+    iou3d = inter_vol / np.maximum(
+        vol_a[:, None] + vol_b[None] - inter_vol, 1e-8)
+    return iou3d, iou_bev
+
+
 def box3d_iou_params_np(center_a, size_a, heading_a,
                         center_b, size_b, heading_b) -> Tuple[float, float]:
     """Param-form convenience wrapper over `box3d_iou_np`."""

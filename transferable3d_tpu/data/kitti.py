@@ -254,7 +254,8 @@ def extract_frustum_records(
                 class_idx=cfg.class_index(obj.type),
                 frustum_angle=frustum_angle_for_box(box2d, calib),
                 center=center, size=size, heading=heading,
-                box2d=box2d.astype(np.float32), frame_id=idx))
+                box2d=box2d.astype(np.float32), frame_id=idx,
+                calib_p=calib.P.astype(np.float32)))
     return records
 
 
@@ -289,7 +290,8 @@ def extract_frustum_records_from_detections(
             points=pts.astype(np.float32), seg=None,
             class_idx=cfg.class_index(classname),
             frustum_angle=frustum_angle_for_box(box2d, calib),
-            box2d=box2d, score=float(prob), frame_id=idx))
+            box2d=box2d, score=float(prob), frame_id=idx,
+            calib_p=calib.P.astype(np.float32)))
     return records
 
 

@@ -43,6 +43,7 @@ class FrustumRecord:
     box2d: Optional[np.ndarray] = None    # [4] 2D box (xmin,ymin,xmax,ymax)
     score: float = 1.0                    # 2D detector confidence
     frame_id: str = ""                    # source frame identifier
+    calib_p: Optional[np.ndarray] = None  # [3, 4] rect->image P matrix
 
 
 class FrustumDataset:
@@ -106,17 +107,24 @@ class FrustumDataset:
             heading = heading + float(ang)
 
         # Augmentation (reference train_util): flip about the YZ plane and
-        # z-shift along the depth axis.
+        # z-shift along the depth axis. Either one moves the cloud away
+        # from the geometry the recorded 2D box + calib describe, so the
+        # calib-exact reprojection loss must not use this example
+        # (per-example `has_calib` gate; the angular-span surrogate takes
+        # over — see train/semisup.py).
+        calib_valid = rec.calib_p is not None and rec.box2d is not None
         if self.random_flip and self.rng.rand() > 0.5:
             pts[:, 0] = -pts[:, 0]
             center[0] = -center[0]
             heading = np.pi - heading
+            calib_valid = False
         if self.random_shift:
             dist = np.sqrt(center[0] ** 2 + center[2] ** 2)
             shift = np.clip(self.rng.randn() * dist * 0.05, -dist * 0.2,
                             dist * 0.2)
             pts[:, 2] += shift
             center[2] += shift
+            calib_valid = False
 
         hcls, hres = bins_lib.angle_to_class_np(np.float32(heading),
                                                 self.cfg.num_heading_bin)
@@ -134,6 +142,12 @@ class FrustumDataset:
             "frustum_angle": np.float32(rec.frustum_angle),
             "class_idx": np.int64(rec.class_idx),
             "score": np.float32(rec.score),
+            "box2d": (np.zeros(4, np.float32) if rec.box2d is None
+                      else np.asarray(rec.box2d, np.float32)),
+            "calib_p": (np.zeros((3, 4), np.float32)
+                        if rec.calib_p is None
+                        else np.asarray(rec.calib_p, np.float32)),
+            "has_calib": np.float32(1.0 if calib_valid else 0.0),
         }
         if self.one_hot:
             oh = np.zeros(self.cfg.num_classes, np.float32)

@@ -76,17 +76,34 @@ def eval_det_cls(detections: Sequence[BoxDetection],
     npos = len(groundtruths)
 
     dets = sorted(detections, key=lambda d: -d.score)
+
+    # Batch all det x GT IoUs per frame (the per-pair scalar clip is
+    # minutes-slow at real val-set scale); the greedy match below then
+    # only reads precomputed rows.
+    det_by_frame: Dict = defaultdict(list)
+    for i, d in enumerate(dets):
+        det_by_frame[d.frame_id].append(i)
+    iou_row = [None] * len(dets)
+    for fid, idxs in det_by_frame.items():
+        gts = gt_by_frame.get(fid, [])
+        if not gts:
+            continue
+        iou3d, ioubev = box_np.box3d_iou_pairs_np(
+            np.stack([dets[i].corners for i in idxs]),
+            np.stack([g.corners for g in gts]))
+        mat = ioubev if bev else iou3d
+        for row, i in enumerate(idxs):
+            iou_row[i] = mat[row]
+
     tp = np.zeros(len(dets))
     fp = np.zeros(len(dets))
     for i, d in enumerate(dets):
-        gts = gt_by_frame.get(d.frame_id, [])
-        best_iou, best_j = -1.0, -1
-        for j, g in enumerate(gts):
-            iou3d, ioubev = box_np.box3d_iou_np(d.corners, g.corners)
-            iou = ioubev if bev else iou3d
-            if iou > best_iou:
-                best_iou, best_j = iou, j
-        if best_iou >= iou_thresh and not matched[d.frame_id][best_j]:
+        row = iou_row[i]
+        if row is None:  # no GT in this frame
+            fp[i] = 1.0
+            continue
+        best_j = int(np.argmax(row))
+        if row[best_j] >= iou_thresh and not matched[d.frame_id][best_j]:
             tp[i] = 1.0
             matched[d.frame_id][best_j] = True
         else:

@@ -8,6 +8,19 @@ TPU-first notes: grouped tensors are [B, S, K, C]; the per-group MLP is
 a Dense over the channel axis (one [B*S*K, C] matmul on the MXU), and
 the group max-pool is a single reduce. Out-of-radius pad slots repeat an
 in-radius point, so the max over K is exact without masking.
+
+Round-2 rewrite (from v5e profiles): the first shared-MLP layer is
+FACTORED through the grouping whenever the input channel count is at
+least the layer width — exact algebra:
+
+    Dense0(concat(xyz_j - c_s, feat_j))
+        == (concat(xyz, feat) @ W0 + b0)[j] - c_s @ W0[:3]
+
+so the grouping extracts layer-1 preactivations [B, S, K, F1] and the
+wide [B, S, K, 3+C] grouped tensor never materializes. At seg-SA2 the
+grouped tensor is 323-channel: its concat/splits/layout copies were
+~12 ms/step on v5e. Parameter layout is unchanged (dense_0 still holds
+the [3+C, F1] kernel), so both paths interchange in checkpoints.
 """
 
 from __future__ import annotations
@@ -17,7 +30,8 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from transferable3d_tpu.models.layers import PointMLP, on_tpu
+from transferable3d_tpu.models.layers import (PointMLP, ScheduledBatchNorm,
+                                              on_tpu)
 from transferable3d_tpu.ops.grouping import (ball_query, ball_query_group,
                                              group_points)
 from transferable3d_tpu.ops.interpolate import three_interpolate, three_nn
@@ -55,6 +69,59 @@ def _group(new_xyz, xyz, features, radius, nsample):
         [grouped_xyz, group_points(features, idx)], axis=-1)
 
 
+class GroupedPointMLP(nn.Module):
+    """Ball-query grouping + per-group shared MLP + max-pool over K.
+
+    Parameter layout matches PointMLP (dense_i / bn_i), so this module
+    is a drop-in for the grouped-MLP stage of an SA scale. The factored
+    layer-1 path (module docstring above) activates when 3+C >= F1 —
+    i.e. where the wide grouped tensor would dominate; narrow inputs
+    (seg-SA1's 4 channels) keep the raw extraction, whose one-hot
+    contraction is cheaper at C'=4 than at F1=32+.
+    """
+
+    features: Sequence[int]
+    radius: float
+    nsample: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, new_xyz, xyz, feats, *, train: bool, bn_momentum):
+        cin = 3 + (0 if feats is None else feats.shape[-1])
+        f1 = self.features[0]
+        dense0 = nn.Dense(f1, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="dense_0")
+        if cin >= f1:
+            src = (xyz if feats is None else
+                   jnp.concatenate([xyz, feats.astype(xyz.dtype)], -1))
+            pf = dense0(src.astype(self.dtype))  # [B, N, F1] (incl. bias)
+            grouped_pf, _ = ball_query_group(
+                new_xyz, xyz, pf, self.radius, self.nsample,
+                include_xyz=False)  # [B, S, K, F1]
+            # Centroid contribution -c_s @ W0[:3], via the shared Dense
+            # on a zero-padded centroid (the bias cancels in the
+            # difference) — no direct kernel access needed.
+            cent_pad = jnp.concatenate(
+                [new_xyz.astype(self.dtype),
+                 jnp.zeros((*new_xyz.shape[:2], cin - 3), self.dtype)],
+                axis=-1)
+            qc = dense0(cent_pad) - dense0(jnp.zeros_like(cent_pad))
+            x = grouped_pf - qc[:, :, None, :]
+        else:
+            grouped = _group(new_xyz, xyz, feats, self.radius,
+                             self.nsample)
+            x = dense0(grouped.astype(self.dtype))
+        for i, f in enumerate(self.features):
+            if i:
+                x = nn.Dense(f, dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"dense_{i}")(x)
+            x = ScheduledBatchNorm(use_running_average=not train,
+                                   dtype=self.dtype, name=f"bn_{i}")(
+                                       x, bn_momentum)
+            x = nn.relu(x)
+        return jnp.max(x, axis=2)  # [B, S, features[-1]]
+
+
 class SetAbstraction(nn.Module):
     """Single-scale SA: FPS -> ball query -> per-group MLP -> max-pool.
 
@@ -76,13 +143,16 @@ class SetAbstraction(nn.Module):
                        jnp.concatenate([xyz, features], axis=-1))
             grouped = grouped[:, None, :, :]  # [B, 1, N, C]
             new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
-        else:
-            new_xyz, grouped = sample_and_group(
-                self.npoint, self.radius, self.nsample, xyz, features)
-        x = PointMLP(self.mlp, dtype=self.dtype, name="mlp")(
-            grouped.astype(self.dtype), train=train,
-            bn_momentum=bn_momentum)
-        return new_xyz, jnp.max(x, axis=2)  # [B, S, mlp[-1]]
+            x = PointMLP(self.mlp, dtype=self.dtype, name="mlp")(
+                grouped.astype(self.dtype), train=train,
+                bn_momentum=bn_momentum)
+            return new_xyz, jnp.max(x, axis=2)
+        fps_idx = farthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, fps_idx)
+        pooled = GroupedPointMLP(self.mlp, self.radius, self.nsample,
+                                 dtype=self.dtype, name="mlp")(
+            new_xyz, xyz, features, train=train, bn_momentum=bn_momentum)
+        return new_xyz, pooled  # [B, S, mlp[-1]]
 
 
 class SetAbstractionMSG(nn.Module):
@@ -101,11 +171,10 @@ class SetAbstractionMSG(nn.Module):
         outs = []
         for i, (r, k, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
-            grouped = _group(new_xyz, xyz, features, r, k)
-            x = PointMLP(mlp, dtype=self.dtype, name=f"mlp_{i}")(
-                grouped.astype(self.dtype), train=train,
-                bn_momentum=bn_momentum)
-            outs.append(jnp.max(x, axis=2))
+            outs.append(GroupedPointMLP(mlp, r, k, dtype=self.dtype,
+                                        name=f"mlp_{i}")(
+                new_xyz, xyz, features, train=train,
+                bn_momentum=bn_momentum))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

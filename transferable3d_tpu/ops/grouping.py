@@ -102,19 +102,23 @@ def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def ball_query_group(centroids: jnp.ndarray, xyz: jnp.ndarray,
-                     features, radius: float, nsample: int
+                     features, radius: float, nsample: int,
+                     include_xyz: bool = True
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused ball query + grouping with NO gathers: one-hot matmuls.
 
     Returns (grouped [B, S, K, 3 + C] with RAW xyz in the first three
-    channels, count [B, S]). Selection semantics match
+    channels — or [B, S, K, C] of features only with include_xyz=False —
+    and count [B, S]). Selection semantics match
     ball_query+group_points: first-k in-radius points by index, cyclic
     repetition when short, nearest-point fallback for empty balls.
 
     Motivation: the gather form runs on the scalar unit (~40 ms/step
     across the v2 SA levels); here slot k's member is extracted by a
     rank-comparison one-hot contracted with the points on the MXU
-    (scan over K). An exact bf16 hi/lo split keeps fp32 values.
+    (scan over K). An exact bf16 hi/lo split keeps fp32 values (skipped
+    when the payload is already bf16, e.g. the factored layer-1
+    preactivations of models/pointnet2.GroupedPointMLP).
     """
     d2 = pairwise_sqdist(centroids, xyz)  # [B, S, N]
     r2 = radius * radius
@@ -124,7 +128,6 @@ def ball_query_group(centroids: jnp.ndarray, xyz: jnp.ndarray,
     # Empty balls: fall back to the nearest point (its rank stays 0, so
     # patch `within`/`rank` to mark it as the single member).
     nearest = jnp.argmin(d2, axis=-1)  # [B, S]
-    n = xyz.shape[1]
     is_nearest = (jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
                   == nearest[..., None])
     empty = (count == 0)[..., None]
@@ -132,19 +135,25 @@ def ball_query_group(centroids: jnp.ndarray, xyz: jnp.ndarray,
     rank = jnp.where(empty, is_nearest.astype(jnp.int32), rank)
     eff = jnp.maximum(jnp.minimum(count, nsample), 1)[..., None]  # [B,S,1]
 
-    src = (xyz if features is None
-           else jnp.concatenate([xyz, features.astype(xyz.dtype)], -1))
-    hi = src.astype(jnp.bfloat16)
-    lo = (src.astype(jnp.float32) - hi.astype(jnp.float32)).astype(
-        jnp.bfloat16)
+    if include_xyz:
+        src = (xyz if features is None
+               else jnp.concatenate([xyz, features.astype(xyz.dtype)], -1))
+    else:
+        src = features
+    if src.dtype == jnp.bfloat16:
+        parts = [src]  # bf16 payload: the one-hot contraction is exact
+    else:
+        hi = src.astype(jnp.bfloat16)
+        lo = (src.astype(jnp.float32) - hi.astype(jnp.float32)).astype(
+            jnp.bfloat16)
+        parts = [hi, lo]
 
     def step(carry, k):
         want = jnp.mod(k, eff) + 1  # cyclic repetition past the count
         oh = (within & (rank == want)).astype(jnp.bfloat16)  # [B, S, N]
-        member = (jnp.einsum("bsn,bnc->bsc", oh, hi,
-                             preferred_element_type=jnp.float32)
-                  + jnp.einsum("bsn,bnc->bsc", oh, lo,
-                               preferred_element_type=jnp.float32))
+        member = sum(
+            jnp.einsum("bsn,bnc->bsc", oh, p,
+                       preferred_element_type=jnp.float32) for p in parts)
         return carry, member.astype(src.dtype)
 
     _, out = jax.lax.scan(step, 0, jnp.arange(nsample))  # [K, B, S, C]

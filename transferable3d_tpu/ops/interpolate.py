@@ -3,9 +3,18 @@
 Capability parity target: the reference's `tf_interpolate` ops
 (`three_nn`, `three_interpolate` — SURVEY.md N3): for each query point,
 find its 3 nearest support points and inverse-distance-weight their
-features. Here: one pairwise-distance matmul + `top_k` + a weighted
-gather — all static shapes, differentiable w.r.t. features (as in the
-reference, whose grad is only w.r.t. points' features).
+features. Differentiable w.r.t. features (as in the reference, whose grad
+is only w.r.t. points' features) and w.r.t. the distances.
+
+TPU-first formulation (round-2 rewrite, from v5e profiles):
+  * `three_nn` selects the 3 minima ITERATIVELY (3 masked min+compare
+    passes) instead of `top_k`, which lowers to a full [B, M, N] sort
+    (1.6 ms/step at v2 bench shapes).
+  * `three_interpolate` builds the sparse inverse-distance weight matrix
+    W [B, M, N] = sum_k w_k * onehot(idx_k) and contracts it with the
+    features on the MXU. The forward gather (4.9 ms of scalar-unit
+    row gathers) and the backward scatter-add (2.9 ms) both become
+    matmuls (dF = W^T @ g, inserted automatically by AD).
 """
 
 from __future__ import annotations
@@ -18,6 +27,28 @@ import jax.numpy as jnp
 from transferable3d_tpu.ops.grouping import pairwise_sqdist
 
 
+def _min3(d2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Three smallest entries along the last axis, first index on ties.
+
+    d2 [B, M, N] -> (vals [B, M, 3], idx [B, M, 3] int32). Matches
+    `top_k(-d2, 3)` selection order without the full-sort lowering.
+    Fewer than 3 support points: the remaining slots repeat index 0
+    (callers recompute exact distances for the selected indices).
+    """
+    n = d2.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+    cur = d2
+    vals, idxs = [], []
+    for _ in range(3):
+        m = jnp.min(cur, axis=-1, keepdims=True)
+        i = jnp.min(jnp.where(cur <= m, iota, n), axis=-1)  # [B, M]
+        i = jnp.minimum(i, n - 1)  # all-inf row (n < 3): repeat index 0
+        vals.append(m[..., 0])
+        idxs.append(i)
+        cur = jnp.where(iota == i[..., None], jnp.inf, cur)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1).astype(jnp.int32)
+
+
 def three_nn(queries: jnp.ndarray, support: jnp.ndarray
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """queries [B, M, 3], support [B, N, 3] -> (dist [B, M, 3], idx).
@@ -26,20 +57,20 @@ def three_nn(queries: jnp.ndarray, support: jnp.ndarray
     the 3 selected distances are then recomputed in direct form — the
     expanded form loses ~1e-6 absolute accuracy to cancellation, which
     matters when a query coincides with a support point (self-distance
-    must be exactly 0 for the IDW weights to be exact there).
+    must be exactly 0 for the IDW weights to be exact there). The
+    selected coordinates come from one-hot MXU contractions, not
+    gathers.
     """
     d2 = pairwise_sqdist(queries, support)  # [B, M, N]
     n = support.shape[1]
-    _, idx = jax.lax.top_k(-d2, min(3, n))
-    if n < 3:  # tiny support (e.g. the global-SA level): repeat neighbors
-        idx = jnp.concatenate(
-            [idx, jnp.broadcast_to(idx[..., :1],
-                                   (*idx.shape[:2], 3 - n))], axis=-1)
-    idx = idx.astype(jnp.int32)
-    b, m, _ = idx.shape
-    flat = idx.reshape(b, m * 3)
-    sel = jnp.take_along_axis(support, flat[..., None], axis=1)
-    sel = sel.reshape(b, m, 3, 3)
+    _, idx = _min3(d2)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (*idx.shape[:2], n), 2)
+    sel = []
+    for k in range(3):
+        oh = (iota == idx[..., k:k + 1]).astype(support.dtype)
+        sel.append(jnp.einsum("bmn,bnc->bmc", oh, support,
+                              precision=jax.lax.Precision.HIGHEST))
+    sel = jnp.stack(sel, axis=2)  # [B, M, 3, 3]
     exact = jnp.sum((sel - queries[:, :, None, :]) ** 2, axis=-1)
     return jnp.sqrt(jnp.maximum(exact, 0.0)), idx
 
@@ -48,10 +79,21 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
                       dist: jnp.ndarray) -> jnp.ndarray:
     """features [B, N, C], idx/dist [B, M, 3] -> interpolated [B, M, C]
     with inverse-distance weights (reference normalization: w_i = (1/d_i)
-    / sum_j (1/d_j), eps-guarded)."""
-    from transferable3d_tpu.ops.grouping import flat_row_gather
+    / sum_j (1/d_j), eps-guarded).
 
+    One [B, M, N] x [B, N, C] MXU contraction with the weights scattered
+    into a sparse row matrix via comparisons (differentiable w.r.t. both
+    `dist` and `features`; fp32-exact via HIGHEST precision).
+    """
+    n = features.shape[1]
     w = 1.0 / jnp.maximum(dist, 1e-10)
     w = w / jnp.sum(w, axis=-1, keepdims=True)  # [B, M, 3]
-    gathered = flat_row_gather(features, idx)   # [B, M, 3, C]
-    return jnp.sum(gathered * w[..., None], axis=2)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (*idx.shape[:2], n), 2)
+    wmat = jnp.zeros((*idx.shape[:2], n), jnp.float32)
+    for k in range(3):
+        oh = (iota == idx[..., k:k + 1]).astype(jnp.float32)
+        wmat = wmat + oh * w[..., k:k + 1]
+    out = jnp.einsum("bmn,bnc->bmc", wmat,
+                     features.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.astype(jnp.result_type(features.dtype, jnp.float32))

@@ -57,6 +57,8 @@ class TrainConfig:
     # synthetic-data knobs (tests / smoke)
     synthetic_train: int = 512
     synthetic_val: int = 128
+    synthetic_hard: bool = False   # depth-sensor-like clouds (surface-only
+    #                                + occlusion; see data/synthetic.py)
 
     def bin_config(self) -> bins_lib.BinConfig:
         if self.dataset == "kitti":

@@ -144,14 +144,15 @@ def differentiable_box(end_points: Dict, cfg: bins_lib.BinConfig
                                heading=heading)
 
 
-def angular_span_loss(corners: jnp.ndarray, points: jnp.ndarray
-                      ) -> jnp.ndarray:
-    """2D-reprojection consistency in frustum coordinates.
+def angular_span_residual(corners: jnp.ndarray, points: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Per-example 2D-reprojection surrogate in frustum coordinates.
 
     corners [B, 8, 3] of the predicted box; points [B, N, C] the frustum
-    cloud (which by construction fills the 2D box). Matches the (x/z,
-    y/z) angular bounds — identical constraint to projecting with the
-    camera matrix, since pixel coords are monotone in these ratios.
+    cloud. Matches the (x/z, y/z) angular bounds — a projection-like
+    constraint valid when the cloud fills the 2D box exactly; the
+    calib-exact form below replaces it whenever the batch carries a
+    camera matrix. Returns the mean absolute span error [B].
     """
     def spans(xyz):
         z = jnp.maximum(xyz[..., 2], 0.5)  # frustums look down +Z
@@ -162,10 +163,33 @@ def angular_span_loss(corners: jnp.ndarray, points: jnp.ndarray
 
     ca = spans(corners)
     pa = spans(points[..., :3])
-    err = sum(jnp.abs(c - p) for c, p in zip(ca, pa)) / 4.0
-    d = 1.0
-    q = jnp.minimum(err, d)
-    return jnp.mean(0.5 * q ** 2 + d * (err - q))
+    return sum(jnp.abs(c - p) for c, p in zip(ca, pa)) / 4.0
+
+
+def calib_reprojection_residual(corners: jnp.ndarray,
+                                frustum_angle: jnp.ndarray,
+                                calib_p: jnp.ndarray,
+                                box2d: jnp.ndarray) -> jnp.ndarray:
+    """Calib-exact 2D reprojection error (SURVEY.md §3.5: "project 8
+    corners with calib -> match given 2D box").
+
+    corners [B, 8, 3] in the FRUSTUM frame; frustum_angle [B] undoes the
+    rotate-to-center normalization; calib_p [B, 3, 4] is the rect->image
+    projection (KITTI P2); box2d [B, 4] = (xmin, ymin, xmax, ymax).
+    Returns the mean absolute bound error [B], normalized by the 2D box
+    size (scale invariance across near/far objects).
+    """
+    rect = geometry.rotate_points_y(corners, -frustum_angle)  # [B, 8, 3]
+    hom = jnp.concatenate(
+        [rect, jnp.ones((*rect.shape[:2], 1), rect.dtype)], axis=-1)
+    uvw = jnp.einsum("bnc,bdc->bnd", hom, calib_p)  # [B, 8, 3]
+    w = jnp.maximum(uvw[..., 2], 0.1)  # guard degenerate depths
+    u, v = uvw[..., 0] / w, uvw[..., 1] / w
+    pred = jnp.stack([jnp.min(u, axis=1), jnp.min(v, axis=1),
+                      jnp.max(u, axis=1), jnp.max(v, axis=1)], axis=-1)
+    wh = jnp.maximum(box2d[:, 2:4] - box2d[:, 0:2], 1.0)  # [B, 2]
+    norm = jnp.concatenate([wh, wh], axis=-1)
+    return jnp.mean(jnp.abs(pred - box2d) / norm, axis=-1)
 
 
 def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
@@ -193,9 +217,23 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
                    + huber(box.heading - refined.heading)
                    + huber(jnp.log(box.size / refined.size)))
 
-    # (c) 2D reprojection consistency via angular spans.
+    # (c) 2D reprojection consistency: calib-exact corner projection for
+    # examples that carry a camera matrix (KITTI; has_calib==1), the
+    # angular-span surrogate otherwise (SUN-RGBD pickles / augmented
+    # draws, where the recorded box2d no longer matches the cloud).
     corners = geometry.box_corners(box.center, box.size, box.heading)
-    reproj_loss = angular_span_loss(corners, batch["points"])
+    span_res = angular_span_residual(corners, batch["points"])
+    if "calib_p" in batch:
+        calib_res = calib_reprojection_residual(
+            corners, batch["frustum_angle"], batch["calib_p"],
+            batch["box2d"])
+        has_calib = batch["has_calib"]
+        err = jnp.where(has_calib > 0, calib_res, span_res)
+    else:
+        err = span_res
+    d = 1.0
+    q = jnp.minimum(err, d)
+    reproj_loss = jnp.mean(0.5 * q ** 2 + d * (err - q))
 
     # (d) per-class mean-size prior (normalized).
     mean_sizes = jnp.asarray(cfg.mean_size_array())

@@ -62,23 +62,57 @@ def rotate_back(center: np.ndarray, heading: float,
     return c, heading - frustum_angle
 
 
+def make_boxpc_refine_step(boxpc_model, iterations: int = 1):
+    """Compiled BoxPC refinement: apply the fit net's deltas to decoded
+    boxes (optionally iterated). SURVEY.md C13(b): the refinement head is
+    the transferable signal — at inference it pushes any decoded box
+    toward a better fit of the observed cloud, which matters most for
+    weak classes whose box head never saw 3D labels."""
+    from transferable3d_tpu.models import boxpc as boxpc_lib
+
+    def fn(variables, points, center, size, heading):
+        box = boxpc_lib.BoxParams(center=center, size=size, heading=heading)
+        fit = jax.numpy.ones_like(heading)
+        for _ in range(iterations):
+            out = boxpc_model.apply(variables, points, box, train=False)
+            box = boxpc_lib.apply_deltas(box, out)
+            fit = jax.nn.sigmoid(out["fit_logit"])
+        return box.center, box.size, box.heading, fit
+
+    return jax.jit(fn)
+
+
 def run_inference(model, state, ds: FrustumDataset,
-                  cfg: bins_lib.BinConfig, batch_size: int = 32
-                  ) -> List[Detection]:
+                  cfg: bins_lib.BinConfig, batch_size: int = 32,
+                  boxpc_model=None, boxpc_variables=None,
+                  boxpc_steps: int = 1) -> List[Detection]:
     """Batched prediction over a dataset -> detections in original frame.
 
     Detection score follows the reference recipe: log(2D score) +
     log(seg confidence) + log(heading/size bin confidences), exponentiated
     back to a positive score.
+
+    With `boxpc_model`/`boxpc_variables`, decoded boxes are refined by
+    the BoxPC deltas (in the frustum frame, before rotate-back) —
+    reference mechanism C13(b), enabled by `--boxpc_refine`.
     """
     predict = train_loop.make_predict_step(model, cfg)
+    refine = (make_boxpc_refine_step(boxpc_model, boxpc_steps)
+              if boxpc_model is not None else None)
     detections: List[Detection] = []
     n = len(ds)
     for start in range(0, n, batch_size):
         idxs = list(range(start, min(start + batch_size, n)))
         pad = batch_size - len(idxs)
         batch = ds.get_batch(idxs + [idxs[-1]] * pad)
-        out = jax.device_get(predict(state, batch))
+        out = predict(state, batch)
+        if refine is not None:
+            center, size, heading, fit = refine(
+                boxpc_variables, batch["points"], out["center"],
+                out["size"], out["heading"])
+            out = dict(out, center=center, size=size, heading=heading,
+                       boxpc_fit=fit)
+        out = jax.device_get(out)
         for j, i in enumerate(idxs):
             rec = ds.records[i]
             center, heading = rotate_back(
@@ -175,8 +209,14 @@ def groundtruth_boxes(ds: FrustumDataset,
 # ---------------------------------------------------------------------------
 
 def evaluate(cfg: config_lib.TrainConfig, result_dir: str,
-             iou_thresh: float = 0.25) -> Dict[str, float]:
-    """Restore latest checkpoint, run inference on val, write files + AP."""
+             iou_thresh: float = 0.25, boxpc_dir: str = "",
+             boxpc_steps: int = 1) -> Dict[str, float]:
+    """Restore latest checkpoint, run inference on val, write files + AP.
+
+    `boxpc_dir` (--boxpc_refine): directory of a BoxPC checkpoint (phase-A
+    output, `<log_dir>/boxpc_ckpt`); decoded boxes are refined by its
+    deltas, iterated `boxpc_steps` times.
+    """
     from transferable3d_tpu.train.train_sup import build_datasets
 
     logger = Logger(result_dir, filename="log_test.txt")
@@ -196,7 +236,27 @@ def evaluate(cfg: config_lib.TrainConfig, result_dir: str,
     assert state is not None, "no checkpoint found"
     logger.log_string(f"restored step {int(state.step)}")
 
-    dets = run_inference(model, state, val_ds, bins_cfg, cfg.batch_size)
+    boxpc_model = boxpc_vars = None
+    if boxpc_dir:
+        from transferable3d_tpu.models.boxpc import BoxPCFitNet
+        from transferable3d_tpu.train import semisup
+        boxpc_model = BoxPCFitNet(cfg=bins_cfg)
+        bp_template = semisup.create_boxpc_state(
+            boxpc_model, bins_cfg, tx, sample)
+        bp_ckpt = CheckpointManager(boxpc_dir)
+        bp_state = bp_ckpt.restore_latest(bp_template)
+        bp_ckpt.close()
+        assert bp_state is not None, f"no BoxPC checkpoint in {boxpc_dir}"
+        boxpc_vars = {"params": bp_state.params,
+                      "batch_stats": bp_state.batch_stats}
+        logger.log_string(
+            f"boxpc refinement on (step {int(bp_state.step)}, "
+            f"{boxpc_steps} iteration(s))")
+
+    dets = run_inference(model, state, val_ds, bins_cfg, cfg.batch_size,
+                         boxpc_model=boxpc_model,
+                         boxpc_variables=boxpc_vars,
+                         boxpc_steps=boxpc_steps)
     if cfg.dataset == "kitti":
         write_kitti_results(dets, result_dir)
         gt_dir = os.environ.get("T3D_KITTI_GT_DIR", "")
@@ -223,9 +283,15 @@ def main() -> None:
     config_lib.add_cli_args(parser)
     parser.add_argument("--result_dir", default="result")
     parser.add_argument("--iou_thresh", type=float, default=0.25)
+    parser.add_argument("--boxpc_refine", default="",
+                        help="BoxPC ckpt dir; refine decoded boxes with "
+                             "its deltas before writing detections")
+    parser.add_argument("--boxpc_refine_steps", type=int, default=1)
     args = parser.parse_args()
     cfg = config_lib.config_from_args(args)
-    evaluate(cfg, args.result_dir, args.iou_thresh)
+    evaluate(cfg, args.result_dir, args.iou_thresh,
+             boxpc_dir=args.boxpc_refine,
+             boxpc_steps=args.boxpc_refine_steps)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,11 @@ class SemisupConfig(config_lib.TrainConfig):
     boxpc_epochs: int = 20
     weak_weight: float = 1.0
     boxpc_restore: str = ""
+    # Per-term weak-loss weights (ablation knobs; scripts/transfer_study.py).
+    weak_fit: float = 1.0
+    weak_refine: float = 1.0
+    weak_reproj: float = 1.0
+    weak_size_prior: float = 0.5
 
 
 def _filter(records, cfg: bins_lib.BinConfig, classes: Sequence[str]):
@@ -62,9 +67,11 @@ def build_semisup_datasets(cfg: SemisupConfig):
     else:
         train_recs = synthetic.make_dataset(
             cfg.synthetic_train, bins_cfg, seed=cfg.seed,
+            hard=cfg.synthetic_hard,
             extra_channels=cfg.num_channels - 3)
         val_recs = synthetic.make_dataset(
             cfg.synthetic_val, bins_cfg, seed=cfg.seed + 10_000,
+            hard=cfg.synthetic_hard,
             extra_channels=cfg.num_channels - 3)
 
     def ds(records, train=True):
@@ -162,7 +169,11 @@ def train(cfg: SemisupConfig) -> dict:
     state = mesh_lib.replicate(state, mesh)
     step = semisup.make_semisup_train_step(
         detector, boxpc_model, bins_cfg, tx, lr_sched, bn_sched,
-        weak_weight=cfg.weak_weight)
+        weak_weight=cfg.weak_weight,
+        weights=semisup.WeakLossWeights(
+            fit=cfg.weak_fit, refine=cfg.weak_refine,
+            reprojection=cfg.weak_reproj,
+            size_prior=cfg.weak_size_prior))
     eval_step = train_loop.make_eval_step(detector, bins_cfg)
 
     ckpt = CheckpointManager(f"{cfg.log_dir}/ckpt")

@@ -44,10 +44,12 @@ def build_datasets(cfg: config_lib.TrainConfig):
                      if cfg.classes else None)
         train_recs = synthetic.make_dataset(
             cfg.synthetic_train, bins_cfg, seed=cfg.seed,
+            hard=cfg.synthetic_hard,
             class_idx=class_idx,
             extra_channels=cfg.num_channels - 3)
         val_recs = synthetic.make_dataset(
             cfg.synthetic_val, bins_cfg, seed=cfg.seed + 10_000,
+            hard=cfg.synthetic_hard,
             class_idx=class_idx,
             extra_channels=cfg.num_channels - 3)
     train_ds = FrustumDataset(
