@@ -224,3 +224,65 @@ def test_ball_query_group_matches_gather_path():
             for row in g[b, si, m:]:
                 dmin = np.abs(rf[b, si, :m] - row).max(axis=1).min()
                 assert dmin < 1e-3  # pad slots repeat some member
+
+
+def test_ball_query_extract_pallas_matches_scan():
+    """Pallas fused extract kernel (interpret) == XLA one-hot scan,
+    bit-exact, including K > N cyclic wrap and multi-k-tile grids."""
+    from transferable3d_tpu.ops.grouping import (ball_query_extract,
+                                                 ball_query_group)
+
+    rng = np.random.RandomState(21)
+    for b, s, n, c, k, r in [(3, 16, 64, 8, 12, 0.7),
+                             (2, 8, 32, 16, 40, 1.2),   # K > N wrap
+                             (2, 4, 16, 8, 4, 0.3)]:    # mostly empty
+        # Coordinates on a 1/64 grid so both d2 formulations agree at
+        # the radius boundary bit-for-bit.
+        cent = jnp.asarray(
+            np.round(rng.uniform(-2, 2, (b, s, 3)) * 64) / 64
+        ).astype(jnp.float32)
+        xyz = jnp.asarray(
+            np.round(rng.uniform(-2, 2, (b, n, 3)) * 64) / 64
+        ).astype(jnp.float32)
+        pay = jnp.asarray(rng.uniform(-1, 1, (b, n, c)).astype(
+            np.float32)).astype(jnp.bfloat16)
+        ref, cnt_ref = ball_query_group(cent, xyz, pay, r, k,
+                                        include_xyz=False)
+        got, cnt = ball_query_extract(cent, xyz, pay, r, k, True)
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_ref))
+        np.testing.assert_array_equal(
+            np.asarray(got.astype(jnp.float32)),
+            np.asarray(ref.astype(jnp.float32)))
+
+
+def test_ball_query_extract_gradients():
+    """Custom-VJP payload gradient == the XLA scan's autodiff gradient
+    (up to bf16 accumulation order; the kernel accumulates in f32)."""
+    from transferable3d_tpu.ops.grouping import (ball_query_extract,
+                                                 ball_query_group)
+
+    rng = np.random.RandomState(22)
+    b, s, n, c, k, r = 2, 8, 32, 8, 8, 0.9
+    cent = jnp.asarray(rng.uniform(-2, 2, (b, s, 3)).astype(np.float32))
+    xyz = jnp.asarray(rng.uniform(-2, 2, (b, n, 3)).astype(np.float32))
+    pay = jnp.asarray(rng.uniform(-1, 1, (b, n, c)).astype(
+        np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.uniform(-1, 1, (b, s, k, c)).astype(np.float32))
+
+    def loss_ref(p):
+        g, _ = ball_query_group(cent, xyz, p, r, k, include_xyz=False)
+        return jnp.sum(g.astype(jnp.float32) * w)
+
+    def loss_new(p):
+        g, _ = ball_query_extract(cent, xyz, p, r, k, True)
+        return jnp.sum(g.astype(jnp.float32) * w)
+
+    gr = np.asarray(jax.grad(loss_ref)(pay).astype(jnp.float32))
+    gn = np.asarray(jax.grad(loss_new)(pay).astype(jnp.float32))
+    assert gn.dtype == np.float32 and gr.shape == gn.shape
+    scale = max(1e-6, np.abs(gr).max())
+    assert np.abs(gr - gn).max() / scale < 0.03
+    # Gradients w.r.t. the discrete selection inputs are zero.
+    dc = jax.grad(lambda cc: jnp.sum(ball_query_extract(
+        cc, xyz, pay, r, k, True)[0].astype(jnp.float32)))(cent)
+    assert float(jnp.max(jnp.abs(dc))) == 0.0

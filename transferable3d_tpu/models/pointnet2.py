@@ -30,12 +30,49 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+import os
+
 from transferable3d_tpu.models.layers import (PointMLP, ScheduledBatchNorm,
                                               on_tpu)
 from transferable3d_tpu.ops.grouping import (ball_query, ball_query_group,
-                                             group_points)
+                                             group_points, grouped_payload)
 from transferable3d_tpu.ops.interpolate import three_interpolate, three_nn
 from transferable3d_tpu.ops.sampling import farthest_point_sample, gather_points
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only twin of nn.Dense (same names/inits) so the fused
+    grouped-chain path produces a checkpoint-identical variable tree."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """Parameter-only twin of ScheduledBatchNorm (same names/inits)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(self.features, jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(self.features, jnp.float32))
+        return scale, bias, mean, var
 
 
 def sample_and_group(npoint: int, radius: float, nsample: int,
@@ -74,10 +111,13 @@ class GroupedPointMLP(nn.Module):
 
     Parameter layout matches PointMLP (dense_i / bn_i), so this module
     is a drop-in for the grouped-MLP stage of an SA scale. The factored
-    layer-1 path (module docstring above) activates when 3+C >= F1 —
-    i.e. where the wide grouped tensor would dominate; narrow inputs
-    (seg-SA1's 4 channels) keep the raw extraction, whose one-hot
-    contraction is cheaper at C'=4 than at F1=32+.
+    layer-1 path (module docstring above) is used unconditionally: the
+    grouping extracts layer-1 preactivations, so the extraction payload
+    is always bf16 and runs through the fused Pallas kernel
+    (ops/grouping.ball_query_extract) on TPU. Round-1 kept the raw
+    extraction for narrow inputs on a FLOP argument, but the one-hot
+    contraction's lanes pad to 128 either way — C=4 costs the same as
+    C=F1, so factoring is strictly better.
     """
 
     features: Sequence[int]
@@ -91,26 +131,26 @@ class GroupedPointMLP(nn.Module):
         f1 = self.features[0]
         dense0 = nn.Dense(f1, dtype=self.dtype, param_dtype=jnp.float32,
                           name="dense_0")
-        if cin >= f1:
-            src = (xyz if feats is None else
-                   jnp.concatenate([xyz, feats.astype(xyz.dtype)], -1))
-            pf = dense0(src.astype(self.dtype))  # [B, N, F1] (incl. bias)
-            grouped_pf, _ = ball_query_group(
-                new_xyz, xyz, pf, self.radius, self.nsample,
-                include_xyz=False)  # [B, S, K, F1]
-            # Centroid contribution -c_s @ W0[:3], via the shared Dense
-            # on a zero-padded centroid (the bias cancels in the
-            # difference) — no direct kernel access needed.
-            cent_pad = jnp.concatenate(
-                [new_xyz.astype(self.dtype),
-                 jnp.zeros((*new_xyz.shape[:2], cin - 3), self.dtype)],
-                axis=-1)
-            qc = dense0(cent_pad) - dense0(jnp.zeros_like(cent_pad))
-            x = grouped_pf - qc[:, :, None, :]
-        else:
-            grouped = _group(new_xyz, xyz, feats, self.radius,
-                             self.nsample)
-            x = dense0(grouped.astype(self.dtype))
+        src = (xyz if feats is None else
+               jnp.concatenate([xyz, feats.astype(xyz.dtype)], -1))
+        pf = dense0(src.astype(self.dtype))  # [B, N, F1] (incl. bias)
+        # Centroid contribution -c_s @ W0[:3], via the shared Dense
+        # on a zero-padded centroid (the bias cancels in the
+        # difference) — no direct kernel access needed.
+        cent_pad = jnp.concatenate(
+            [new_xyz.astype(self.dtype),
+             jnp.zeros((*new_xyz.shape[:2], cin - 3), self.dtype)],
+            axis=-1)
+        qc = dense0(cent_pad) - dense0(jnp.zeros_like(cent_pad))
+
+        fused = (on_tpu() and self.dtype == jnp.bfloat16
+                 and os.environ.get("T3D_FUSED_SA", "1") == "1")
+        if fused:
+            return self._fused(new_xyz, xyz, pf, qc, train=train,
+                               bn_momentum=bn_momentum)
+        grouped_pf, _ = grouped_payload(
+            new_xyz, xyz, pf, self.radius, self.nsample)  # [B, S, K, F1]
+        x = grouped_pf - qc[:, :, None, :]
         for i, f in enumerate(self.features):
             if i:
                 x = nn.Dense(f, dtype=self.dtype, param_dtype=jnp.float32,
@@ -120,6 +160,41 @@ class GroupedPointMLP(nn.Module):
                                        x, bn_momentum)
             x = nn.relu(x)
         return jnp.max(x, axis=2)  # [B, S, features[-1]]
+
+    def _fused(self, new_xyz, xyz, pf, qc, *, train, bn_momentum):
+        """Fused grouped-MLP chain (ops/fused_sa): the [B, S, K, C]
+        tensors never reach XLA; parameter tree is identical to the
+        unfused branch (checkpoint/TF1-importer compatible)."""
+        from transferable3d_tpu.ops import fused_sa
+
+        fs = list(self.features)
+        gammas, betas, ra_means, ra_vars = [], [], [], []
+        ws, bs = [], []
+        for i, f in enumerate(fs):
+            if i:
+                k, b = _DenseParams(fs[i - 1], f, name=f"dense_{i}")()
+                ws.append(k)
+                bs.append(b)
+            g, b2, m, v = _BNParams(f, name=f"bn_{i}")()
+            gammas.append(g)
+            betas.append(b2)
+            ra_means.append(m)
+            ra_vars.append(v)
+
+        running = tuple((m.value, v.value)
+                        for m, v in zip(ra_means, ra_vars))
+        pooled, means, variances = fused_sa.fused_grouped_chain(
+            new_xyz, xyz, pf, qc, tuple(gammas), tuple(betas),
+            tuple(ws), tuple(bs), self.radius, self.nsample, 1e-3,
+            train, running, fused_sa.INTERPRET)
+        if train and not self.is_initializing():
+            m = jnp.asarray(bn_momentum, jnp.float32)
+            for i in range(len(fs)):
+                ra_means[i].value = (m * ra_means[i].value
+                                     + (1.0 - m) * means[i])
+                ra_vars[i].value = (m * ra_vars[i].value
+                                    + (1.0 - m) * variances[i])
+        return pooled
 
 
 class SetAbstraction(nn.Module):

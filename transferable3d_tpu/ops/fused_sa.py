@@ -1,0 +1,574 @@
+"""Fused set-abstraction grouped-MLP chain (SURVEY.md N2, round 2).
+
+One logical op: ball-query extraction + L x (BatchNorm + ReLU + Dense)
++ max-pool over the group axis, with exact train-mode BatchNorm batch
+statistics, as a family of Pallas passes.
+
+Why: the unfused chain materializes [B, S, K, C] grouped tensors in HBM
+for every layer, forward and backward — ~60% of the v2 train step on
+v5e, most of it HBM traffic (and XLA pads the minor dim to 128 lanes,
+so C=32 tensors cost 4x their size). XLA cannot fuse across BatchNorm
+batch-statistic reductions: each layer's normalization needs the full
+batch's statistics before the next matmul can run, so every layer
+round-trips its activation through HBM. Here the chain's only HBM
+tensor is the layer-1 preactivation z1 (bf16, written once by the
+extraction pass); every later pass re-derives the chain from z1 tiles
+inside VMEM, emitting only per-channel statistics, the pooled output,
+or parameter gradients.
+
+Pass structure (L = chain depth, typically 3):
+  forward:  extract(z1 + stats_0) -> stats_1 .. stats_{L-1} -> pooled
+  backward: ties -> R_{L-1} -> {R_j + dW_{j+1}, db_{j+1}} for j<L-1
+            -> dz1 -> (d_payload via the one-hot transpose, d_qc)
+Each pass reads only z1 (plus O(F^2) weights): the exact-BN sequential
+dependency costs L extra streams of one bf16 tensor instead of L
+materialized activation tensors.
+
+Numerics match models/layers.ScheduledBatchNorm + flax Dense in bf16:
+bf16 preactivations and activations, f32 normalization affine, biased
+variance, eps=1e-3, max-pool gradient split equally among ties (jnp
+semantics; ties are guaranteed by cyclic slot repetition).
+
+Per-layer parameters enter kernels as one f32 [6, F] "pack":
+  row 0: a    = gamma * rsqrt(var + eps)     (fused scale)
+  row 1: c    = beta - mu * a                (fused shift)
+  row 2: mu   (batch or running mean)
+  row 3: r    = rsqrt(var + eps)
+  row 4: mdy  = Sum(dy) / M                  (backward only)
+  row 5: mdyx = Sum(dy * xhat) / M           (backward only)
+so y = z * a + c, xhat = (z - mu) * r, and the train-mode BN backward
+is dz = a * (dy - mdy - xhat * mdyx).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from transferable3d_tpu.ops.grouping import (_masked_rank, _onehot_tile,
+                                             _slot_tiles, _tri)
+
+_CHAIN_ROWS = 2048  # target rows (s_chunk * K) per chain-pass tile
+
+# Test hook: models.pointnet2 passes this as the interpret flag so CPU
+# tests can exercise the fused module path (see tests/test_fused_sa.py).
+INTERPRET = False
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def _bf16(x):
+    return x.astype(jnp.bfloat16)
+
+
+def _zero_at_first(*outs):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        for o in outs:
+            o[:] = jnp.zeros_like(o)
+
+
+def _chain_all(z1_rows, packs, ws, bs):
+    """Recompute the chain from z1 rows.
+
+    packs: list of pack refs (layers 0..d-1); ws/bs: Dense params, ws[i]
+    maps h_i -> z_{i+1}. Returns (zs, hs): zs[i]/hs[i] bf16 preact /
+    activation of layer i; len(zs) == len(ws) + 1 when ws extends past
+    the normalized layers (statistics passes), else len(packs).
+    """
+    zs, hs = [z1_rows], []
+    for i in range(len(packs)):
+        a, c = packs[i][0:1, :], packs[i][1:2, :]
+        y = _bf16(_f32(zs[i]) * a + c)
+        hs.append(jnp.maximum(y, jnp.bfloat16(0)))
+        if i < len(ws):
+            zs.append(_bf16(jnp.dot(hs[i], _bf16(ws[i][:]),
+                                    preferred_element_type=jnp.float32)
+                            + bs[i][:]))
+    return zs, hs
+
+
+def _expand_rows(ref, k):
+    """[1, S, F] block ref -> f32 [S*k, F] with each row repeated k
+    times (row-major match for [S, k]-flattened tiles). bf16 repeats
+    and 3-D bf16 broadcasts do not legalize in Mosaic; f32 repeat
+    does, and equality against f32-cast bf16 values stays exact."""
+    return jnp.repeat(_f32(ref[0]), k, axis=0)
+
+
+def _pool_grad(h_last, pooled_rows, dpooled_rows, ties_rows):
+    mask = jnp.where(_f32(h_last) == pooled_rows, 1.0, 0.0)
+    return _bf16(dpooled_rows * mask / jnp.maximum(ties_rows, 1.0))
+
+
+def _down_to(j, zs, hs, packs, ws, dh_top, train):
+    """Backward cascade from layer L-1 down: returns (dy_j, dz_{j+1}).
+
+    Requires packs[i] rows 4/5 (mdy, mdyx) final for all i > j.
+    """
+    depth = len(packs)
+    dh = dh_top
+    dz_next = None
+    for i in range(depth - 1, j - 1, -1):
+        # bf16 comparisons do not legalize in Mosaic; compare in f32.
+        dy = jnp.where(_f32(hs[i]) > 0, dh, jnp.bfloat16(0))
+        if i == j:
+            return dy, dz_next
+        a, mu, r = packs[i][0:1, :], packs[i][2:3, :], packs[i][3:4, :]
+        if train:
+            mdy, mdyx = packs[i][4:5, :], packs[i][5:6, :]
+            xhat = (_f32(zs[i]) - mu) * r
+            dz = _bf16((_f32(dy) - mdy - xhat * mdyx) * a)
+        else:
+            dz = _bf16(_f32(dy) * a)
+        dz_next = dz
+        dh = _bf16(jnp.dot(dz, _bf16(ws[i - 1][:]).T,
+                           preferred_element_type=jnp.float32))
+    raise AssertionError("unreachable")
+
+
+# ---------------------------------------------------------------------------
+# Kernels. Chain passes run on a (B, S/s_chunk) grid over whole-K row
+# tiles [s_chunk * K, F]; the extraction / dz1 passes run on the
+# (B, K/k_t) grid of ops.grouping with the rank matrix in scratch.
+# ---------------------------------------------------------------------------
+
+
+def _extract_kernel(r2, k, k_t, ct, pt, tri, pay, qc, z1, sums, sumsq,
+                    rank_ref):
+    s = ct.shape[-1]
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _():
+        rank_m, _ = _masked_rank(r2, ct[0], pt[0], tri[:])
+        rank_ref[:] = rank_m
+
+    _zero_at_first(sums, sumsq)
+    oh = _onehot_tile(rank_ref, k, k_t, kt)            # [S*K_t, N]
+    g = jnp.dot(oh, pay[0], preferred_element_type=jnp.float32)
+    qc_rep = _expand_rows(qc, k_t)                     # [S*K_t, F0] f32
+    z = _bf16(g) - _bf16(qc_rep)   # bf16 subtract, matching the
+    z1[0] = z.reshape(s, k_t, -1)  # unfused grouped_pf - qc order
+    zf = _f32(z)
+    sums[:] += jnp.sum(zf, axis=0, keepdims=True)
+    sumsq[:] += jnp.sum(zf * zf, axis=0, keepdims=True)
+
+
+def _split(refs, *counts):
+    out, p = [], 0
+    for n in counts:
+        out.append(list(refs[p:p + n]))
+        p += n
+    assert p == len(refs), (p, len(refs))
+    return out
+
+
+def _stats_kernel(depth, z1, *refs):
+    """Accumulate Sum / Sum-of-squares of z_depth over all rows."""
+    packs, ws, bs, outs = _split(refs, depth, depth, depth, 2)
+    _zero_at_first(*outs)
+    tile = z1[0]
+    s_ch, k, f0 = tile.shape
+    zs, _ = _chain_all(tile.reshape(s_ch * k, f0), packs, ws, bs)
+    zf = _f32(zs[depth])
+    outs[0][:] += jnp.sum(zf, axis=0, keepdims=True)
+    outs[1][:] += jnp.sum(zf * zf, axis=0, keepdims=True)
+
+
+def _fwd_out_kernel(depth, z1, *refs):
+    packs, ws, bs, (pooled,) = _split(refs, depth, depth - 1, depth - 1,
+                                      1)
+    tile = z1[0]
+    s_ch, k, f0 = tile.shape
+    _, hs = _chain_all(tile.reshape(s_ch * k, f0), packs, ws, bs)
+    h = hs[-1]
+    pooled[0] = jnp.max(h.reshape(s_ch, k, h.shape[-1]), axis=1)
+
+
+def _bwd_r_kernel(depth, j, train, z1, *refs):
+    """Accumulate R_j = (Sum dy_j, Sum dy_j * xhat_j), plus per-pass
+    extras: the first pass (j = depth-1) computes and OUTPUTS the
+    max-pool tie counts (each s is complete within one tile, so no
+    separate ties pass is needed); passes j < depth-1 take ties as an
+    input and also accumulate dW_{j+1}, db_{j+1}; the last pass (j = 0)
+    additionally writes dy_0 to HBM so the dz1/d_payload pass can skip
+    the whole chain + cascade recompute."""
+    first = j == depth - 1
+    n_in = 2 if first else 3
+    n_acc = 2 if first else 4
+    n_tile = (1 if first else 0) + (1 if j == 0 and not first else 0)
+    packs, ws, bs, ins, accs, tiles = _split(
+        refs, depth, depth - 1, depth - 1, n_in, n_acc, n_tile)
+    _zero_at_first(*accs)
+    tile = z1[0]
+    s_ch, k, f0 = tile.shape
+    rows = s_ch * k
+    expand = lambda ref: _expand_rows(ref, k)
+    zs, hs = _chain_all(tile.reshape(rows, f0), packs, ws, bs)
+    if first:
+        pooled, dpooled = ins
+        pooled_rows = expand(pooled)
+        eq = jnp.where(_f32(hs[-1]) == pooled_rows, 1.0, 0.0)
+        ties_tile = jnp.sum(eq.reshape(s_ch, k, -1), axis=1)
+        tiles[0][0] = ties_tile
+        ties_rows = jnp.repeat(ties_tile, k, axis=0)
+        dh_top = _bf16(_f32(expand(dpooled)) * eq
+                       / jnp.maximum(ties_rows, 1.0))
+    else:
+        pooled, dpooled, ties = ins
+        dh_top = _pool_grad(hs[-1], expand(pooled), expand(dpooled),
+                            expand(ties))
+    dy_j, dz_next = _down_to(j, zs, hs, packs, ws, dh_top, train)
+    if not first:
+        # ws[j] maps h_j -> z_{j+1}: dW = h_j^T dz_{j+1}.
+        accs[2][:] += jax.lax.dot_general(
+            hs[j], dz_next, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        accs[3][:] += jnp.sum(_f32(dz_next), axis=0, keepdims=True)
+        if j == 0:
+            tiles[0][0] = dy_j.reshape(s_ch, k, f0)
+    mu, r = packs[j][2:3, :], packs[j][3:4, :]
+    xhat = (_f32(zs[j]) - mu) * r
+    dyf = _f32(dy_j)
+    accs[0][:] += jnp.sum(dyf, axis=0, keepdims=True)
+    accs[1][:] += jnp.sum(dyf * xhat, axis=0, keepdims=True)
+
+
+def _bwd_dz1_kernel(r2, k, k_t, train, ct, pt, tri, z1, dy0, pack0,
+                    dpay, dqc, rank_ref, acc_ref):
+    """Final backward pass: dz1 (BN-0 backward of the cached dy_0) ->
+    d_payload via the one-hot transpose on the MXU, and
+    d_qc = -Sum over slots of dz1 (f32)."""
+    s = ct.shape[-1]
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _():
+        rank_m, _ = _masked_rank(r2, ct[0], pt[0], tri[:])
+        rank_ref[:] = rank_m
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        dqc[0] = jnp.zeros_like(dqc[0])
+
+    tile = z1[0]                                       # [S, K_t, F0]
+    _, k_t_, f0 = tile.shape
+    rows = s * k_t
+    dy0_rows = dy0[0].reshape(rows, f0)
+    a, mu, r = pack0[0:1, :], pack0[2:3, :], pack0[3:4, :]
+    if train:
+        mdy, mdyx = pack0[4:5, :], pack0[5:6, :]
+        xhat = (_f32(tile.reshape(rows, f0)) - mu) * r
+        dz1 = _bf16((_f32(dy0_rows) - mdy - xhat * mdyx) * a)
+    else:
+        dz1 = _bf16(_f32(dy0_rows) * a)
+
+    oh = _onehot_tile(rank_ref, k, k_t, kt)            # [S*K_t, N]
+    acc_ref[:] += jax.lax.dot_general(
+        oh, dz1, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [N, F0]
+    dqc[0] += -jnp.sum(_f32(dz1).reshape(s, k_t, f0), axis=1)
+
+    @pl.when(kt == pl.num_programs(1) - 1)
+    def _():
+        dpay[0] = acc_ref[:].astype(dpay.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers.
+# ---------------------------------------------------------------------------
+
+
+def _vspec(block, index):
+    return pl.BlockSpec(block, index, memory_space=pltpu.VMEM)
+
+
+def _geo_specs(s, n):
+    return [
+        _vspec((1, 3, s), lambda b_, i: (b_, 0, 0)),   # centroid planes
+        _vspec((1, 3, n), lambda b_, i: (b_, 0, 0)),   # point planes
+        _vspec((n, n), lambda b_, i: (0, 0)),          # triangular ones
+    ]
+
+
+def _param_specs(packs, ws, bs):
+    const = lambda a: _vspec(a.shape, lambda b_, i: tuple(
+        0 for _ in a.shape))
+    return [const(x) for x in (*packs, *ws, *bs)]
+
+
+def _acc_spec(shape):
+    """Output accumulated across the whole grid (constant index map)."""
+    return (_vspec(shape, lambda b_, i: tuple(0 for _ in shape)),
+            jax.ShapeDtypeStruct(shape, jnp.float32))
+
+
+def _s_chunk(s, k):
+    return max(1, min(s, _CHAIN_ROWS // k))
+
+
+def _call_extract(cent, xyz, pf, qc, radius, nsample, interpret):
+    b, s, _ = cent.shape
+    n = xyz.shape[1]
+    f0 = pf.shape[-1]
+    k_t = _slot_tiles(s, n, nsample)
+    ct = jnp.swapaxes(cent, 1, 2)
+    pt = jnp.swapaxes(xyz, 1, 2)
+    sspec, sshape = _acc_spec((1, f0))
+    qspec, qshape = _acc_spec((1, f0))
+    z1, sums, sumsq = pl.pallas_call(
+        partial(_extract_kernel, radius * radius, nsample, k_t),
+        grid=(b, nsample // k_t),
+        in_specs=_geo_specs(s, n) + [
+            _vspec((1, n, f0), lambda b_, i: (b_, 0, 0)),
+            _vspec((1, s, f0), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=[
+            _vspec((1, s, k_t, f0), lambda b_, i: (b_, 0, i, 0)),
+            sspec, qspec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, nsample, f0), jnp.bfloat16),
+            sshape, qshape,
+        ],
+        scratch_shapes=[pltpu.VMEM((s, n), jnp.float32)],
+        interpret=interpret,
+    )(ct, pt, _tri(n), pf, _bf16(qc))
+    return z1, sums[0], sumsq[0]
+
+
+def _chain_grid_specs(z1, packs, ws, bs):
+    b, s, k, f0 = z1.shape
+    s_ch = _s_chunk(s, k)
+    grid = (b, s // s_ch)
+    specs = [_vspec((1, s_ch, k, f0), lambda b_, i: (b_, i, 0, 0))]
+    specs += _param_specs(packs, ws, bs)
+    return grid, specs, s_ch
+
+
+def _call_stats(z1, packs, ws, bs, f_out, interpret):
+    depth = len(packs)
+    grid, specs, _ = _chain_grid_specs(z1, packs, ws, bs)
+    sspec, sshape = _acc_spec((1, f_out))
+    qspec, qshape = _acc_spec((1, f_out))
+    sums, sumsq = pl.pallas_call(
+        partial(_stats_kernel, depth),
+        grid=grid,
+        in_specs=specs,
+        out_specs=[sspec, qspec],
+        out_shape=[sshape, qshape],
+        interpret=interpret,
+    )(z1, *packs, *ws, *bs)
+    return sums[0], sumsq[0]
+
+
+def _call_fwd_out(z1, packs, ws, bs, interpret):
+    depth = len(packs)
+    b, s, k, f0 = z1.shape
+    f_out = packs[-1].shape[-1]
+    grid, specs, s_ch = _chain_grid_specs(z1, packs, ws, bs)
+    return pl.pallas_call(
+        partial(_fwd_out_kernel, depth),
+        grid=grid,
+        in_specs=specs,
+        out_specs=_vspec((1, s_ch, f_out), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, f_out), jnp.bfloat16),
+        interpret=interpret,
+    )(z1, *packs, *ws, *bs)
+
+
+def _call_bwd_r(j, train, z1, packs, ws, bs, pooled, dpooled, ties,
+                interpret):
+    """One backward pass. Returns (sdy, sdyx) plus: ties [B,S,F] when
+    j == depth-1 (ties arg ignored); dW, db, dy0 when j == 0; dW, db
+    for intermediate j."""
+    depth = len(packs)
+    b, s, k, f0 = z1.shape
+    f_out = pooled.shape[-1]
+    f_j = packs[j].shape[-1]
+    first = j == depth - 1
+    grid, specs, s_ch = _chain_grid_specs(z1, packs, ws, bs)
+    pspec = _vspec((1, s_ch, f_out), lambda b_, i: (b_, i, 0))
+    specs += [pspec, pspec] if first else [pspec, pspec, pspec]
+    out_specs, out_shapes = [], []
+    for shape in [(1, f_j), (1, f_j)] + (
+            [] if first else [ws[j].shape, (1, ws[j].shape[1])]):
+        sp, sh = _acc_spec(shape)
+        out_specs.append(sp)
+        out_shapes.append(sh)
+    if first:
+        out_specs.append(pspec)
+        out_shapes.append(jax.ShapeDtypeStruct((b, s, f_out),
+                                               jnp.float32))
+    elif j == 0:
+        out_specs.append(_vspec((1, s_ch, k, f0),
+                                lambda b_, i: (b_, i, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((b, s, k, f0),
+                                               jnp.bfloat16))
+    ins = (pooled, dpooled.astype(jnp.bfloat16)) if first else (
+        pooled, dpooled.astype(jnp.bfloat16), ties)
+    return pl.pallas_call(
+        partial(_bwd_r_kernel, depth, j, train),
+        grid=grid,
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(z1, *packs, *ws, *bs, *ins)
+
+
+def _call_bwd_dz1(cent, xyz, z1, dy0, pack0, radius, nsample, train,
+                  pay_dtype, interpret):
+    b, s, k, f0 = z1.shape
+    n = xyz.shape[1]
+    k_t = _slot_tiles(s, n, nsample)
+    ct = jnp.swapaxes(cent, 1, 2)
+    pt = jnp.swapaxes(xyz, 1, 2)
+    zspec = _vspec((1, s, k_t, f0), lambda b_, i: (b_, 0, i, 0))
+    dpay, dqc = pl.pallas_call(
+        partial(_bwd_dz1_kernel, radius * radius, nsample, k_t, train),
+        grid=(b, nsample // k_t),
+        in_specs=_geo_specs(s, n) + [
+            zspec, zspec,
+            _vspec(pack0.shape, lambda b_, i: (0, 0)),
+        ],
+        out_specs=[
+            _vspec((1, n, f0), lambda b_, i: (b_, 0, 0)),
+            _vspec((1, s, f0), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, f0), pay_dtype),
+            jax.ShapeDtypeStruct((b, s, f0), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((s, n), jnp.float32),
+                        pltpu.VMEM((n, f0), jnp.float32)],
+        interpret=interpret,
+    )(ct, pt, _tri(n), z1, dy0, pack0)
+    return dpay, dqc
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP.
+# ---------------------------------------------------------------------------
+
+
+def _make_pack(gamma, beta, mu, var, eps, mdy=None, mdyx=None):
+    r = jax.lax.rsqrt(var + eps)
+    a = gamma * r
+    c = beta - mu * a
+    z = jnp.zeros_like(a)
+    return jnp.stack([a, c, mu, r,
+                      z if mdy is None else mdy,
+                      z if mdyx is None else mdyx]).astype(jnp.float32)
+
+
+def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
+              nsample, eps, train, running, interpret):
+    depth = len(gammas)
+    m = None
+    z1, s0, q0 = _call_extract(new_xyz, xyz, pf, qc, radius, nsample,
+                               interpret)
+    b, s, k, _ = z1.shape
+    m = b * s * k
+    means, variances, packs = [], [], []
+    for d in range(depth):
+        if train:
+            if d == 0:
+                sums, sumsq = s0, q0
+            else:
+                sums, sumsq = _call_stats(
+                    z1, packs, ws[:d], bs[:d], gammas[d].shape[0],
+                    interpret)
+            mu = sums / m
+            var = sumsq / m - mu * mu
+        else:
+            mu, var = running[d]
+        means.append(mu)
+        variances.append(var)
+        packs.append(_make_pack(gammas[d], betas[d], mu, var, eps))
+    pooled = _call_fwd_out(z1, packs, ws, bs, interpret)
+    return pooled, means, variances, z1, packs
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 13))
+def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
+                        radius, nsample, eps, train, running,
+                        interpret=False):
+    """Fused ball-query + grouped-MLP chain + max-pool (one SA scale).
+
+    Args: new_xyz [B,S,3] f32 centroids; xyz [B,N,3] f32 points;
+    pf [B,N,F0] bf16 layer-1 preactivations (dense_0 applied to all
+    points); qc [B,S,F0] centroid correction (dense_0 kernel applied to
+    centroids, bias-free); gammas/betas: BN affine params per layer;
+    ws/bs: dense_1..dense_{L-1} params; running: ((mean, var), ...) for
+    eval mode (train=False).
+
+    Returns (pooled [B,S,F_last] bf16, means, variances) — the batch
+    statistics (train mode) for the caller's running-average update;
+    their cotangents are ignored (flax variable-update semantics).
+
+    Semantics match the unfused GroupedPointMLP stack exactly up to f32
+    reduction order; gradient w.r.t. the discrete selection geometry is
+    zero (as in the reference CUDA op).
+    """
+    pooled, means, variances, _, _ = _fwd_impl(
+        new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius, nsample,
+        eps, train, running, interpret)
+    return pooled, tuple(means), tuple(variances)
+
+
+def _fgc_fwd(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
+             nsample, eps, train, running, interpret):
+    pooled, means, variances, z1, packs = _fwd_impl(
+        new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius, nsample,
+        eps, train, running, interpret)
+    res = (new_xyz, xyz, z1, pooled, tuple(packs), ws, bs,
+           jnp.zeros((), pf.dtype), jnp.zeros((), qc.dtype), running)
+    return (pooled, tuple(means), tuple(variances)), res
+
+
+def _fgc_bwd(radius, nsample, eps, train, interpret, res, cts):
+    (new_xyz, xyz, z1, pooled, packs, ws, bs, pf_tok, qc_tok,
+     running) = res
+    dpooled = cts[0]  # stats cotangents ignored (variable updates)
+    depth = len(packs)
+    b, s, k, f0 = z1.shape
+    m = b * s * k
+    packs = list(packs)
+    ties = None
+    dy0 = None
+    dgammas, dbetas = [None] * depth, [None] * depth
+    dws, dbs = [None] * (depth - 1), [None] * (depth - 1)
+    for j in range(depth - 1, -1, -1):
+        outs = _call_bwd_r(j, train, z1, packs, ws, bs, pooled,
+                           dpooled, ties, interpret)
+        sdy, sdyx = outs[0][0], outs[1][0]
+        dbetas[j] = sdy
+        dgammas[j] = sdyx
+        if j == depth - 1:
+            ties = outs[2]
+        else:
+            dws[j] = outs[2]
+            dbs[j] = outs[3][0]
+            if j == 0:
+                dy0 = outs[4]
+        if train:
+            # Fill the statistic rows for the next (lower) passes.
+            packs[j] = packs[j].at[4].set(sdy / m).at[5].set(sdyx / m)
+    dpf, dqc = _call_bwd_dz1(new_xyz, xyz, z1, dy0, packs[0], radius,
+                             nsample, train, pf_tok.dtype, interpret)
+    drunning = jax.tree_util.tree_map(jnp.zeros_like, running)
+    return (jnp.zeros_like(new_xyz), jnp.zeros_like(xyz), dpf,
+            dqc.astype(qc_tok.dtype), tuple(dgammas), tuple(dbetas),
+            tuple(dws), tuple(dbs), drunning)
+
+
+fused_grouped_chain.defvjp(_fgc_fwd, _fgc_bwd)

@@ -16,6 +16,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -159,3 +161,261 @@ def ball_query_group(centroids: jnp.ndarray, xyz: jnp.ndarray,
     _, out = jax.lax.scan(step, 0, jnp.arange(nsample))  # [K, B, S, C]
     grouped = jnp.moveaxis(out, 0, 2)  # [B, S, K, C]
     return grouped, count
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused ball-query + payload extraction (SURVEY.md N2).
+#
+# The XLA scan above materializes a [B, S, N] one-hot in HBM per k slot
+# (~33 MB each at the v2 seg-SA1 shapes): measured 0.07-0.1 ms per slot
+# on v5e — 26 ms/step across the 224 slots of seg-SA1 alone, all of it
+# HBM traffic on the masks (payload width was irrelevant in A/B runs).
+# The kernel below keeps everything in VMEM: squared distances from
+# coordinate PLANES (a trailing dim of 3 would pad to 128 lanes), ranks
+# as one triangular-matrix MXU dot (inclusive cumsum; f32 accumulation
+# is exact for counts <= N), then per centroid a [K_t, N] one-hot built
+# in registers and contracted with the [N, C] payload on the MXU.
+#
+# Grid: (B, K/K_t). Mosaic requires the last two block dims to divide
+# (8, 128) or equal the array dims, so S stays whole (S <= 128 in every
+# model config) and the output is tiled over slots; the rank matrix is
+# computed once per batch row (first k-tile) into persistent scratch.
+# ---------------------------------------------------------------------------
+
+
+def _masked_rank(r2, ct, pt, tri):
+    """In-radius ranks for one batch row.
+
+    `ct` [3, S] / `pt` [3, N] are coordinate planes, `tri` [N, N] the
+    upper-triangular ones (bf16). Returns (rank_m [S, N] f32 — 1-based
+    in-radius rank, 0 out of radius, patched to mark the nearest point
+    as the single member for empty balls — and count [S, 1] f32, the
+    TRUE in-radius count, 0 for empty balls).
+    """
+    s, n = ct.shape[-1], pt.shape[-1]
+    d2 = jnp.zeros((s, n), jnp.float32)
+    for i in range(3):
+        diff = ct[i : i + 1, :].reshape(s, 1) - pt[i : i + 1, :]
+        d2 = d2 + diff * diff
+    within = d2 <= r2
+    # i1 -> bf16 selects hit a Mosaic relayout bug ((8,128) mask tiling
+    # into (16,128) bf16); select into f32 and cast instead.
+    wf = jnp.where(within, 1.0, 0.0).astype(jnp.bfloat16)
+    # Inclusive cumsum along N as one MXU dot; f32 accumulation of 0/1
+    # products is exact for counts <= N.
+    rank = jnp.dot(wf, tri, preferred_element_type=jnp.float32)
+    count = rank[:, n - 1 : n]  # [S, 1]
+    # Empty balls fall back to the nearest point (lowest index on ties,
+    # matching jnp.argmin); argmin itself does not legalize in Mosaic.
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (s, n), 1)
+    dmin = jnp.min(d2, axis=1, keepdims=True)
+    near = jnp.min(jnp.where(d2 <= dmin, iota_n, n), axis=1,
+                   keepdims=True)
+    empty = count < 0.5
+    rank_m = jnp.where(within, rank, 0.0)
+    rank_m = jnp.where(empty, jnp.where(iota_n == near, 1.0, 0.0), rank_m)
+    return rank_m, count
+
+
+def _want_tile(rank_ref, k, k_t, kt):
+    """Per-slot wanted ranks for slots [kt*k_t, (kt+1)*k_t) — [S, K_t].
+
+    want = (slot mod eff) + 1 with eff = clip(count, 1, k); computed in
+    f32 where all quantities are small exact integers. Mosaic lowers
+    f32 division to reciprocal-multiply, which can round an exact
+    integer quotient just below it (33/33 -> 0.99999997, floor -> 0);
+    biasing the numerator by +0.25 preserves the exact floor for all
+    integer slot/eff < 2^11 while absorbing that error. eff is
+    recovered as max(rank_m) so later k-tiles need no extra state.
+    """
+    eff = jnp.clip(jnp.max(rank_ref[:], axis=1, keepdims=True), 1.0,
+                   float(k))  # [S, 1]
+    s = eff.shape[0]
+    slot = (jax.lax.broadcasted_iota(jnp.int32, (s, k_t), 1).astype(
+        jnp.float32) + (kt * k_t).astype(jnp.float32))
+    return slot - eff * jnp.floor((slot + 0.25) / eff) + 1.0  # [S, K_t]
+
+
+def grouped_payload(centroids: jnp.ndarray, xyz: jnp.ndarray,
+                    payload: jnp.ndarray, radius: float, nsample: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Grouped payload rows [B, S, K, C]: the Pallas kernel on TPU for
+    bf16 payloads, the XLA one-hot scan elsewhere (same semantics)."""
+    from transferable3d_tpu.models.layers import on_tpu
+
+    if on_tpu() and payload.dtype == jnp.bfloat16:
+        return ball_query_extract(centroids, xyz, payload, radius,
+                                  nsample)
+    return ball_query_group(centroids, xyz, payload, radius, nsample,
+                            include_xyz=False)
+
+
+def _onehot_tile(rank_ref, k, k_t, kt):
+    """One-hot slot-membership for slots [kt*k_t, (kt+1)*k_t).
+
+    Fully vectorized over centroids: one [S, K_t, N] broadcast compare
+    of ranks against per-slot wanted ranks, flattened to [S*K_t, N]
+    bf16 so the payload contraction is a single MXU dot per grid step
+    (a per-centroid loop costs ~300 cycles/iteration in dynamic slices
+    and tiny transposes — measured 2x slower than the XLA scan).
+    """
+    want = _want_tile(rank_ref, k, k_t, kt)           # [S, K_t]
+    oh3 = jnp.where(rank_ref[:][:, None, :] == want[:, :, None],
+                    1.0, 0.0)                         # [S, K_t, N] f32
+    s, n = rank_ref.shape
+    return oh3.astype(jnp.bfloat16).reshape(s * k_t, n)
+
+
+def _extract_fwd_kernel(r2, k, k_t, ct, pt, tri, pay, out, cnt,
+                        rank_ref):
+    s = ct.shape[-1]
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _():
+        rank_m, count = _masked_rank(r2, ct[0], pt[0], tri[:])
+        rank_ref[:] = rank_m
+        cnt[0, 0, :] = count[:, 0].astype(jnp.int32)
+
+    oh = _onehot_tile(rank_ref, k, k_t, kt)           # [S*K_t, N]
+    g = jnp.dot(oh, pay[0], preferred_element_type=jnp.float32)
+    out[0] = g.reshape(s, k_t, -1).astype(out.dtype)
+
+
+def _extract_bwd_kernel(r2, k, k_t, ct, pt, tri, dg, dpay,
+                        rank_ref, acc_ref):
+    s = ct.shape[-1]
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _():
+        rank_m, _ = _masked_rank(r2, ct[0], pt[0], tri[:])
+        rank_ref[:] = rank_m
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    oh = _onehot_tile(rank_ref, k, k_t, kt)           # [S*K_t, N]
+    dg_flat = dg[0].reshape(s * k_t, -1)              # [S*K_t, C]
+    acc_ref[:] += jax.lax.dot_general(
+        oh, dg_flat, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [N, C]
+
+    @pl.when(kt == pl.num_programs(1) - 1)
+    def _():
+        dpay[0] = acc_ref[:].astype(dpay.dtype)
+
+
+def _slot_tiles(s: int, n: int, k: int) -> int:
+    """Slot-tile size keeping the in-kernel [S, K_t, N] one-hot build
+    (f32 compare + bf16 flat copy, ~6 B/element transient) ~<= 8 MB.
+
+    Kept a power of two >= 8 (Mosaic block sublane constraint) that
+    divides k; k < 8 falls back to the whole slot axis.
+    """
+    budget = max(1, (8 << 20) // (s * n * 6))
+    k_t = 8
+    while k_t * 2 <= min(k, budget):
+        k_t *= 2
+    if k_t >= k or k % k_t:
+        return k
+    return k_t
+
+
+def _tri(n: int) -> jnp.ndarray:
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    iota1 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.where(iota0 <= iota1, 1.0, 0.0).astype(jnp.bfloat16)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ball_query_extract(centroids: jnp.ndarray, xyz: jnp.ndarray,
+                       payload: jnp.ndarray, radius: float, nsample: int,
+                       interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused ball query + payload-row extraction as one Pallas kernel.
+
+    Semantically identical to `ball_query_group(..., include_xyz=False)`
+    (first-k in-radius points by index, cyclic repetition past the
+    count, nearest-point fallback for empty balls), for a bf16 payload.
+    Differentiable w.r.t. `payload` only (selection is discrete, as in
+    the reference CUDA op — SURVEY.md N2).
+    """
+    return _extract_fwd_call(centroids, xyz, payload, radius, nsample,
+                             interpret)
+
+
+def _extract_fwd_call(centroids, xyz, payload, radius, nsample, interpret):
+    b, s, _ = centroids.shape
+    n = xyz.shape[1]
+    c = payload.shape[-1]
+    k_t = _slot_tiles(s, n, nsample)
+    ct = jnp.swapaxes(centroids, 1, 2)  # [B, 3, S] coordinate planes
+    pt = jnp.swapaxes(xyz, 1, 2)        # [B, 3, N]
+    grouped, cnt = pl.pallas_call(
+        partial(_extract_fwd_kernel, radius * radius, nsample, k_t),
+        grid=(b, nsample // k_t),
+        in_specs=[
+            pl.BlockSpec((1, 3, s), lambda b_, kt: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda b_, kt: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda b_, kt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda b_, kt: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s, k_t, c), lambda b_, kt: (b_, 0, kt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda b_, kt: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, nsample, c), payload.dtype),
+            jax.ShapeDtypeStruct((b, 1, s), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((s, n), jnp.float32)],
+        interpret=interpret,
+    )(ct, pt, _tri(n), payload)
+    return grouped, cnt[:, 0, :]
+
+
+def _extract_fwd_rule(centroids, xyz, payload, radius, nsample, interpret):
+    out = _extract_fwd_call(centroids, xyz, payload, radius, nsample,
+                            interpret)
+    return out, (centroids, xyz, jnp.zeros((), payload.dtype))
+
+
+def _extract_bwd_rule(radius, nsample, interpret, res, cts):
+    centroids, xyz, pay_token = res
+    pay_dtype = pay_token.dtype
+    dg, _ = cts  # count cotangent is integer/zero
+    b, s, _ = centroids.shape
+    n = xyz.shape[1]
+    c = dg.shape[-1]
+    k_t = _slot_tiles(s, n, nsample)
+    ct = jnp.swapaxes(centroids, 1, 2)
+    pt = jnp.swapaxes(xyz, 1, 2)
+    dpay = pl.pallas_call(
+        partial(_extract_bwd_kernel, radius * radius, nsample, k_t),
+        grid=(b, nsample // k_t),
+        in_specs=[
+            pl.BlockSpec((1, 3, s), lambda b_, kt: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda b_, kt: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda b_, kt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, k_t, c), lambda b_, kt: (b_, 0, kt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda b_, kt: (b_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), pay_dtype),
+        scratch_shapes=[pltpu.VMEM((s, n), jnp.float32),
+                        pltpu.VMEM((n, c), jnp.float32)],
+        interpret=interpret,
+    )(ct, pt, _tri(n), dg.astype(pay_dtype))
+    return (jnp.zeros_like(centroids), jnp.zeros_like(xyz), dpay)
+
+
+ball_query_extract.defvjp(_extract_fwd_rule, _extract_bwd_rule)

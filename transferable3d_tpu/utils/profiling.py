@@ -28,6 +28,79 @@ def trace(log_dir: Optional[str]) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def xplane_exclusive_ps(trace_dir: str) -> dict:
+    """Parse a captured trace's xplane proto -> {op_name: exclusive ps}.
+
+    The tensorboard-profile plugin converters are broken in this image
+    (CLAUDE.md), so the proto is read directly: the "XLA Ops" line gives
+    per-op intervals; exclusive time subtracts nested children via a
+    stack sweep. `%while` wrappers and async markers are dropped.
+    """
+    import collections
+    import glob
+    import os
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not files:
+        raise FileNotFoundError(f"no xplane in {trace_dir}")
+    xs = xplane_pb2.XSpace()
+    with open(files[0], "rb") as f:
+        xs.ParseFromString(f.read())
+    per_op = collections.Counter()
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            evs = sorted((ev.offset_ps, ev.offset_ps + ev.duration_ps,
+                          ev_names.get(ev.metadata_id, "?"))
+                         for ev in line.events)
+            stack = []
+
+            def pop():
+                s, e, n, child = stack.pop()
+                per_op[n] += (e - s) - child
+                if stack:
+                    stack[-1] = (stack[-1][0], stack[-1][1], stack[-1][2],
+                                 stack[-1][3] + (e - s))
+
+            for start, end, name in evs:
+                while stack and stack[-1][1] <= start:
+                    pop()
+                stack.append((start, end, name, 0))
+            while stack:
+                pop()
+    return {n: v for n, v in per_op.items()
+            if not n.startswith("%while") and "async" not in n}
+
+
+def device_ms(fn, *args, steps: int = 3) -> float:
+    """Exclusive device ms per call of `fn(*args)` (jitted), via a trace.
+
+    Wall timing through the axon TPU relay lies (block_until_ready can
+    return early — CLAUDE.md); profiler exclusive time does not.
+    """
+    import tempfile
+
+    import jax
+
+    fn = jax.jit(fn)
+    out = fn(*args)
+    jax.block_until_ready(out)
+    trace_dir = tempfile.mkdtemp(prefix="t3d_devms_")
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    return sum(xplane_exclusive_ps(trace_dir).values()) / (steps * 1e9)
+
+
 class StepTimer:
     """Steady-state steps/sec with warmup exclusion."""
 
