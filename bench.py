@@ -65,13 +65,12 @@ def main(mode: str = "train") -> None:
     batch = jax.device_put(batch)
 
     import os
-    fused = os.environ.get("T3D_FUSED", "0") == "1"
     if os.environ.get("T3D_MODEL", "v1") == "v2":
         from transferable3d_tpu.models.frustum_pointnet_v2 import (
             FrustumPointNetV2)
         model = FrustumPointNetV2(cfg=cfg, dtype=jnp.bfloat16)
     else:
-        model = FrustumPointNetV1(cfg=cfg, dtype=jnp.bfloat16, fused=fused)
+        model = FrustumPointNetV1(cfg=cfg, dtype=jnp.bfloat16)
     lr_sched = schedules.exponential_staircase_lr(batch_size=BATCH)
     bn_sched = schedules.bn_momentum_schedule(batch_size=BATCH)
     tx = train_loop.make_optimizer(lr_sched)
@@ -99,6 +98,63 @@ def main(mode: str = "train") -> None:
         fps = BATCH * INNER_STEPS / min(times)
         print(json.dumps({
             "metric": "infer_frustums_per_sec",
+            "value": round(fps, 1),
+            "unit": "frustums/s",
+            "vs_baseline": round(fps / (TARGET_MULTIPLE * TF1_CPU_FPS_EST),
+                                 3),
+        }))
+        return
+
+    if os.environ.get("T3D_E2E", "0") == "1":
+        # End-to-end mode (round-1 verdict item 6): raw depth maps ->
+        # on-device frustum extraction (lift, crop, sample, rotate, bin
+        # encode — data/depth_pipeline.scene_to_train_batch) -> train
+        # step, all inside ONE jit region. Measures the "fused
+        # preprocessing" claim as a number instead of a smoke test.
+        from transferable3d_tpu.data import depth_pipeline
+
+        frames, mb = BATCH // 4, 4
+        scene, _ = depth_pipeline.make_depth_scene(
+            np.random.RandomState(0), cfg, n_frames=frames,
+            boxes_per_frame=mb, h=96, w=128)
+        scene = jax.device_put(scene)
+        # Depth-lifted points are 3-channel (xyz, no intensity): re-init
+        # the state from an example end-to-end batch.
+        eb0 = depth_pipeline.scene_to_train_batch(
+            scene, jax.random.PRNGKey(1), NPOINTS, cfg)
+        state = train_loop.create_train_state(model, cfg, tx, eb0, seed=0)
+        step = train_loop.make_train_step(
+            model, cfg, tx, lr_sched, bn_sched,
+            step_cfg=train_loop.StepConfig(
+                compute_iou_metrics=False, use_valid_weights=True))
+
+        def multi_e2e(state, scene, rng):
+            def body(carry, _):
+                state, rng = carry
+                rng, r = jax.random.split(rng)
+                eb = depth_pipeline.scene_to_train_batch(
+                    scene, r, NPOINTS, cfg)
+                state, metrics = step(state, eb)
+                return (state, rng), metrics["total_loss"]
+            (state, rng), losses = jax.lax.scan(
+                body, (state, rng), None, length=INNER_STEPS)
+            return state, losses
+
+        multi_e2e = jax.jit(multi_e2e, donate_argnums=(0,))
+        rng = jax.random.PRNGKey(0)
+        state, losses = multi_e2e(state, scene, rng)
+        jax.block_until_ready(losses)
+        times = []
+        for _ in range(OUTER_CALLS):
+            t0 = time.perf_counter()
+            state, losses = multi_e2e(state, scene, rng)
+            jax.block_until_ready(losses)
+            times.append(time.perf_counter() - t0)
+        fps = BATCH * INNER_STEPS / min(times)
+        loss = float(losses[-1])
+        assert np.isfinite(loss), f"non-finite loss {loss}"
+        print(json.dumps({
+            "metric": "e2e_train_frustums_per_sec",
             "value": round(fps, 1),
             "unit": "frustums/s",
             "vs_baseline": round(fps / (TARGET_MULTIPLE * TF1_CPU_FPS_EST),

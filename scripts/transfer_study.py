@@ -56,6 +56,7 @@ def run_one(variant: str, seed: int, args) -> dict:
         log_dir=log_dir, seed=seed,
         eval_every_epochs=20, ckpt_every_epochs=20,
         weak_weight=0.0 if variant == "control" else args.weak_weight,
+        weak_warmup_steps=args.weak_warmup_steps,
         weak_fit=wf, weak_refine=wr, weak_reproj=wp, weak_size_prior=ws)
 
     t0 = time.time()
@@ -95,6 +96,7 @@ def main():
     p.add_argument("--num_point", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--weak_weight", type=float, default=1.0)
+    p.add_argument("--weak_warmup_steps", type=int, default=0)
     p.add_argument("--variants", default="transfer,control,no_fit,"
                                          "no_refine,no_reproj,no_prior")
     p.add_argument("--out_dir", default="/tmp/transfer_study")

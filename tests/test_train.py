@@ -130,3 +130,53 @@ def test_schedules_match_tf1_semantics():
     assert float(bn(0)) == pytest.approx(0.5)    # 1 - 0.5
     assert float(bn(100)) == pytest.approx(0.75)  # 1 - 0.25
     assert float(bn(100000)) == pytest.approx(0.99)  # clipped
+
+
+def test_dp_invariance_v2_1_vs_8_devices():
+    """v2 (PointNet++) under the same 1-vs-8 DP-invariance check as v1
+    (round-1 verdict item 9): validates sharded FPS, ball-query
+    grouping, SA/FP stacks and their gradients on the virtual mesh."""
+    from transferable3d_tpu.models.frustum_pointnet_v2 import (
+        FrustumPointNetV2)
+
+    assert jax.device_count() >= 8
+    ds = _data(n=8, seed=3)
+    batch = ds.get_batch(list(range(8)))
+
+    def setup():
+        model = FrustumPointNetV2(cfg=CFG, num_object_point=64)
+        lr_sched = schedules.exponential_staircase_lr(base_lr=1e-3,
+                                                      batch_size=8)
+        bn_sched = schedules.bn_momentum_schedule(batch_size=8)
+        tx = optax.sgd(lr_sched)
+        state = train_loop.create_train_state(model, CFG, tx, batch,
+                                              seed=0)
+        step = train_loop.make_train_step(
+            model, CFG, tx, lr_sched, bn_sched,
+            step_cfg=train_loop.StepConfig(compute_iou_metrics=False))
+        return state, step
+
+    state1, step1 = setup()
+    state1, m1 = step1(state1, batch)
+
+    mesh = mesh_lib.data_parallel_mesh(jax.devices()[:8])
+    state8, step8 = setup()
+    state8 = mesh_lib.replicate(state8, mesh)
+    state8, m8 = step8(state8, mesh_lib.shard_batch(batch, mesh))
+
+    # v2's loss reduces over far more BN statistics than v1's; shard-wise
+    # reassociation moves the total by ~1e-4 relative (a real DP bug
+    # produces O(1/n_devices) errors).
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m8["total_loss"]), rtol=1e-3)
+    # BN batch statistics reassociate across shards (~1e-7 relative);
+    # through v2's deep chain that flips occasional relu/max gates, so
+    # per-element grads are chaotic at the 1e-3 level. Check the
+    # tree-wide relative L2 instead: a real sharding bug (mean-vs-sum
+    # gradients) is an O(1) relative error, reassociation chaos ~1e-3.
+    num = den = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state8.params)):
+        num += float(np.sum((np.asarray(a) - np.asarray(b)) ** 2))
+        den += float(np.sum(np.asarray(a) ** 2))
+    assert (num / den) ** 0.5 < 2e-2, (num / den) ** 0.5

@@ -37,18 +37,17 @@ class InstanceSegNetV1(nn.Module):
     """Per-point foreground/background logits. [B,N,C],[B,K] -> [B,N,2]."""
 
     dtype: Any = jnp.float32
-    fused: bool = False
 
     @nn.compact
     def __call__(self, points, one_hot, *, train: bool, bn_momentum):
         b, n, _ = points.shape
         x = points.astype(self.dtype)
-        x = PointMLP([64, 64], dtype=self.dtype, fused=self.fused,
+        x = PointMLP([64, 64], dtype=self.dtype,
                      name="mlp1")(
             x, train=train, bn_momentum=bn_momentum)
         point_feat = x  # [B, N, 64]
         global_feat = PointMLP([64, 128, 1024], dtype=self.dtype,
-                               fused=self.fused, pool=True, name="mlp2")(
+                               pool=True, name="mlp2")(
             x, train=train, bn_momentum=bn_momentum)  # [B, 1024]
 
         # Reference: concat(point_feat, tile(global, one_hot)) -> 1x1 conv.
@@ -69,7 +68,7 @@ class InstanceSegNetV1(nn.Module):
                                dtype=self.dtype, name="mlp3_bn")(
                                    x, bn_momentum)
         x = nn.relu(x)
-        x = PointMLP([256, 128, 128], dtype=self.dtype, fused=self.fused,
+        x = PointMLP([256, 128, 128], dtype=self.dtype,
                      name="mlp3")(
             x, train=train, bn_momentum=bn_momentum)
         x = nn.Dropout(0.5, deterministic=not train, name="dp")(x)
@@ -82,11 +81,10 @@ class TNet(nn.Module):
     """Center-regression network: object points -> delta-center [B, 3]."""
 
     dtype: Any = jnp.float32
-    fused: bool = False
 
     @nn.compact
     def __call__(self, obj_points, one_hot, *, train: bool, bn_momentum):
-        x = PointMLP([128, 128, 256], dtype=self.dtype, fused=self.fused,
+        x = PointMLP([128, 128, 256], dtype=self.dtype,
                      pool=True, name="mlp")(
             obj_points.astype(self.dtype), train=train,
             bn_momentum=bn_momentum)  # [B, 256]
@@ -100,12 +98,11 @@ class BoxEstimationNetV1(nn.Module):
 
     cfg: bins_lib.BinConfig
     dtype: Any = jnp.float32
-    fused: bool = False
 
     @nn.compact
     def __call__(self, obj_points, one_hot, *, train: bool, bn_momentum):
         x = PointMLP([128, 128, 256, 512], dtype=self.dtype,
-                     fused=self.fused, pool=True, name="mlp")(
+                     pool=True, name="mlp")(
             obj_points.astype(self.dtype), train=train,
             bn_momentum=bn_momentum)  # [B, 512]
         x = jnp.concatenate([x, one_hot.astype(self.dtype)], axis=-1)
@@ -119,36 +116,35 @@ class FrustumPointNetV1(nn.Module):
     `get_model` convention, SURVEY.md L2): seg_logits, mask, stage1_center,
     center, heading/size scores + residuals.
 
-    `fused=True` runs the shared-MLP layers through the Pallas
-    matmul+BN-stats kernel (identical math elsewhere). Default OFF:
-    end-to-end v5e profiling showed the kernel's custom-VJP boundary
-    breaks XLA's surrounding fusions (18.4 vs 13.6 ms/step) — the win
-    needs normalize+relu and the backward inside the kernel too; tracked
-    for a later round."""
+    The round-1 `fused=True` Pallas shared-MLP variant is retired: its
+    custom-call boundary broke XLA's surrounding fusions (18.4 vs 13.6
+    ms/step initially; with the full chain + VJP in kernels it reached
+    11.7 ms exclusive device time but still lost ~5% wall and descended
+    slower). The technique pays where BatchNorm blocks fusion over
+    GROUPED tensors — see ops/fused_sa.py (v2)."""
 
     cfg: bins_lib.BinConfig
     dtype: Any = jnp.float32
     num_object_point: int = model_util.NUM_OBJECT_POINT
-    fused: bool = False
 
     @nn.compact
     def __call__(self, points, one_hot, *, train: bool,
                  bn_momentum=0.9) -> Dict[str, jnp.ndarray]:
-        seg_logits = InstanceSegNetV1(dtype=self.dtype, fused=self.fused,
+        seg_logits = InstanceSegNetV1(dtype=self.dtype,
                                       name="seg_net")(
             points, one_hot, train=train, bn_momentum=bn_momentum)
 
         masked = model_util.point_cloud_masking(
             points, seg_logits, self.num_object_point)
 
-        delta_c1 = TNet(dtype=self.dtype, fused=self.fused, name="tnet")(
+        delta_c1 = TNet(dtype=self.dtype, name="tnet")(
             masked.object_points, one_hot, train=train,
             bn_momentum=bn_momentum)
         stage1_center = delta_c1 + masked.mask_centroid
 
         obj_recentered = masked.object_points - delta_c1[:, None, :]
         box_out = BoxEstimationNetV1(cfg=self.cfg, dtype=self.dtype,
-                                     fused=self.fused, name="box_net")(
+                                     name="box_net")(
             obj_recentered, one_hot, train=train, bn_momentum=bn_momentum)
 
         end_points = model_util.parse_box_output(box_out, self.cfg)

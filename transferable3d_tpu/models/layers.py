@@ -70,172 +70,38 @@ class ScheduledBatchNorm(nn.Module):
 def on_tpu() -> bool:
     import jax
 
+    # Respect an explicit jax.default_device(...) context: a process
+    # that initialized the TPU backend can still run CPU-mesh code
+    # (e.g. __graft_entry__.dryrun_multichip), and Pallas TPU kernels
+    # must not be traced for it.
+    d = jax.config.jax_default_device
+    if d is not None:
+        return "TPU" in d.device_kind
     return any("TPU" in d.device_kind for d in jax.devices())
-
-
-class FusedPointLayer(nn.Module):
-    """Dense + BatchNorm(train) + ReLU with single-pass fused statistics.
-
-    Training forward runs the Pallas `linear_with_stats` kernel on TPU
-    (matmul + per-column sum/sumsq in one VMEM pass — no separate
-    activation read for BN stats); elsewhere, a pure-jnp twin with
-    identical math. Eval uses running stats and a plain matmul.
-    """
-
-    features: int
-    epsilon: float = 1e-3
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, *, train: bool, bn_momentum) -> jnp.ndarray:
-        from transferable3d_tpu.ops import fused_linear
-
-        c, f = x.shape[-1], self.features
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (c, f), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
-        scale = self.param("scale", nn.initializers.ones, (f,),
-                           jnp.float32)
-        beta = self.param("beta", nn.initializers.zeros, (f,), jnp.float32)
-        ra_mean = self.variable("batch_stats", "mean",
-                                lambda: jnp.zeros(f, jnp.float32))
-        ra_var = self.variable("batch_stats", "var",
-                               lambda: jnp.ones(f, jnp.float32))
-
-        lead = x.shape[:-1]
-        m = 1
-        for d in lead:
-            m *= d
-        x2 = x.reshape(m, c).astype(self.dtype)
-
-        if train:
-            if on_tpu():
-                y2, stats = fused_linear.linear_with_stats(
-                    x2, kernel, bias, False)
-            else:
-                y2, stats = fused_linear.linear_with_stats_ref(
-                    x2, kernel, bias)
-            mean = stats[0] / m
-            var = jnp.maximum(stats[1] / m - mean * mean, 0.0)
-            if not self.is_initializing():
-                mom = jnp.asarray(bn_momentum, jnp.float32)
-                ra_mean.value = mom * ra_mean.value + (1 - mom) * mean
-                ra_var.value = mom * ra_var.value + (1 - mom) * var
-        else:
-            y2 = (x2 @ kernel.astype(x2.dtype)
-                  + bias.astype(x2.dtype)[None, :])
-            mean, var = ra_mean.value, ra_var.value
-
-        inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon)) * scale
-        out = (y2.astype(jnp.float32) - mean) * inv + beta
-        return nn.relu(out).astype(self.dtype).reshape(*lead, f)
-
-
-class FusedPointMLP(nn.Module):
-    """Whole shared-MLP stack as a chain of fused Pallas layers.
-
-    Each chain link (ops/fused_chain.bn_act_linear) computes
-    act(a*s + t) @ w + b AND the column stats in one VMEM pass; the
-    input BN of layer k is *folded* into (s, t) derived from layer
-    k-1's stats — normalize/relu never materialize in HBM, and the
-    custom backward kernel produces da/dw/db/ds/dt with all reductions
-    accumulated in VMEM. Non-TPU falls back to the identical-math jnp
-    twin (interpret-mode parity is covered by the kernel tests).
-    """
-
-    features: Sequence[int]
-    epsilon: float = 1e-3
-    pool: bool = False   # end with fused normalize->relu->max-pool over N
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, *, train: bool, bn_momentum) -> jnp.ndarray:
-        from transferable3d_tpu.ops import fused_chain
-
-        lead = x.shape[:-1]
-        m = 1
-        for d in lead:
-            m *= d
-        a = x.reshape(m, x.shape[-1]).astype(self.dtype)
-        use_kernel = train and on_tpu()
-
-        s_in = jnp.ones(a.shape[-1], jnp.float32)
-        t_in = jnp.zeros(a.shape[-1], jnp.float32)
-        for i, f in enumerate(self.features):
-            k_in = a.shape[-1]
-            kernel = self.param(f"kernel_{i}",
-                                nn.initializers.lecun_normal(),
-                                (k_in, f), jnp.float32)
-            bias = self.param(f"bias_{i}", nn.initializers.zeros, (f,),
-                              jnp.float32)
-            scale = self.param(f"scale_{i}", nn.initializers.ones, (f,),
-                               jnp.float32)
-            beta = self.param(f"beta_{i}", nn.initializers.zeros, (f,),
-                              jnp.float32)
-            ra_mean = self.variable("batch_stats", f"mean_{i}",
-                                    lambda f=f: jnp.zeros(f, jnp.float32))
-            ra_var = self.variable("batch_stats", f"var_{i}",
-                                   lambda f=f: jnp.ones(f, jnp.float32))
-            apply_act = i > 0
-            if train:
-                if use_kernel:
-                    y, stats = fused_chain.bn_act_linear(
-                        a, s_in, t_in, kernel, bias, apply_act, False)
-                else:
-                    y, stats = fused_chain.bn_act_linear_ref(
-                        a, s_in, t_in, kernel, bias, apply_act)
-                mean = stats[0] / m
-                var = jnp.maximum(stats[1] / m - mean * mean, 0.0)
-                if not self.is_initializing():
-                    mom = jnp.asarray(bn_momentum, jnp.float32)
-                    ra_mean.value = mom * ra_mean.value + (1 - mom) * mean
-                    ra_var.value = mom * ra_var.value + (1 - mom) * var
-            else:
-                xin = (a.astype(jnp.float32) * s_in + t_in)
-                if apply_act:
-                    xin = jnp.maximum(xin, 0.0)
-                y = (xin.astype(self.dtype) @ kernel.astype(self.dtype)
-                     + bias.astype(self.dtype)[None, :])
-                mean, var = ra_mean.value, ra_var.value
-            s_in = scale * jax.lax.rsqrt(var + self.epsilon)
-            t_in = beta - mean * s_in
-            a = y
-
-        f_out = self.features[-1]
-        if self.pool:
-            # Fused normalize->relu->max-pool over the points axis: the
-            # raw chain output never round-trips HBM as a normalized
-            # tensor (BASELINE's "masked symmetric max-pool" kernel).
-            y3 = a.reshape(*lead, f_out)
-            if use_kernel:
-                pooled = fused_chain.bn_act_maxpool(y3, s_in, t_in, False)
-            else:
-                pooled = fused_chain.bn_act_maxpool_ref(y3, s_in, t_in)
-            return pooled.astype(self.dtype)
-        out = jnp.maximum(a.astype(jnp.float32) * s_in + t_in, 0.0)
-        return out.astype(self.dtype).reshape(*lead, f_out)
 
 
 class PointMLP(nn.Module):
     """Shared per-point MLP stack over [B, N, C] (reference: 1x1 conv2d).
 
     Each layer: Dense -> ScheduledBatchNorm -> ReLU. `bn_momentum` is the
-    scheduled momentum (traced). With `fused=True`, the whole stack runs
-    as a FusedPointMLP chain of Pallas kernels (same math).
+    scheduled momentum (traced).
+
+    Round-1 carried a `fused=True` Pallas variant (matmul + BN-stats in
+    one VMEM pass, full custom VJP). It had lower exclusive device time
+    by trace (11.7 vs 13.6 ms) but lost ~5% wall end-to-end and its
+    loss descended slower, so it never became the default; retired in
+    round 2 (see git history / CLAUDE.md). The multi-pass exact-BN
+    fusion lives on in ops/fused_sa.py, where the grouped [B, S, K, C]
+    chains make it a clear win.
     """
 
     features: Sequence[int]
     use_bn: bool = True
-    fused: bool = False
     pool: bool = False   # end with a max-pool over axis 1 (points)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool, bn_momentum) -> jnp.ndarray:
-        if self.fused and self.use_bn:
-            return FusedPointMLP(self.features, pool=self.pool,
-                                 dtype=self.dtype, name="fused")(
-                x, train=train, bn_momentum=bn_momentum)
         for i, f in enumerate(self.features):
             x = nn.Dense(f, dtype=self.dtype, param_dtype=jnp.float32,
                          name=f"dense_{i}")(x)

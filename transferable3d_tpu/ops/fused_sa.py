@@ -50,10 +50,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from transferable3d_tpu.ops.grouping import (_masked_rank, _onehot_tile,
-                                             _slot_tiles, _tri)
+from transferable3d_tpu.ops.grouping import _tri
 
-_CHAIN_ROWS = 2048  # target rows (s_chunk * K) per chain-pass tile
+_CHAIN_ROWS = 4096  # target rows (s_chunk * K) per chain-pass tile
 
 # Test hook: models.pointnet2 passes this as the interpret flag so CPU
 # tests can exercise the fused module path (see tests/test_fused_sa.py).
@@ -137,28 +136,62 @@ def _down_to(j, zs, hs, packs, ws, dh_top, train):
 
 
 # ---------------------------------------------------------------------------
-# Kernels. Chain passes run on a (B, S/s_chunk) grid over whole-K row
-# tiles [s_chunk * K, F]; the extraction / dz1 passes run on the
-# (B, K/k_t) grid of ops.grouping with the rank matrix in scratch.
+# Kernels. All passes run on a (B, S/s_chunk) grid over whole-K row
+# tiles [s_chunk * K, F]. z1 and dy_0 are stored FLAT as
+# [B, S*K*F0/128, 128] bf16 — the natural [B, S, K, F0] layout pads the
+# minor dim to 128 lanes in HBM (2-4x the bytes at F0 = 64/32), and
+# these two tensors are streamed by every pass.
 # ---------------------------------------------------------------------------
 
 
-def _extract_kernel(r2, k, k_t, ct, pt, tri, pay, qc, z1, sums, sumsq,
-                    rank_ref):
-    s = ct.shape[-1]
-    kt = pl.program_id(1)
+def _rank_rows(r2, ct_rows, pt, tri):
+    """In-radius ranks for an s-chunk. ct_rows [S_ch, 3] (natural
+    layout; 3 lanes pad in VMEM only), pt [3, N] planes, tri [N, N]
+    upper-triangular ones (bf16). Returns rank_m [S_ch, N] f32: 1-based
+    in-radius rank, 0 out of radius, patched so the nearest point is
+    the single member of an empty ball."""
+    s_ch = ct_rows.shape[0]
+    n = pt.shape[-1]
+    d2 = jnp.zeros((s_ch, n), jnp.float32)
+    for i in range(3):
+        diff = ct_rows[:, i:i + 1] - pt[i:i + 1, :]
+        d2 = d2 + diff * diff
+    within = d2 <= r2
+    wf = jnp.where(within, 1.0, 0.0).astype(jnp.bfloat16)
+    rank = jnp.dot(wf, tri, preferred_element_type=jnp.float32)
+    count = rank[:, n - 1:n]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (s_ch, n), 1)
+    dmin = jnp.min(d2, axis=1, keepdims=True)
+    near = jnp.min(jnp.where(d2 <= dmin, iota_n, n), axis=1,
+                   keepdims=True)
+    empty = count < 0.5
+    rank_m = jnp.where(within, rank, 0.0)
+    return jnp.where(empty, jnp.where(iota_n == near, 1.0, 0.0), rank_m)
 
-    @pl.when(kt == 0)
-    def _():
-        rank_m, _ = _masked_rank(r2, ct[0], pt[0], tri[:])
-        rank_ref[:] = rank_m
 
+def _onehot_all(rank_m, k):
+    """One-hot membership for ALL k slots of an s-chunk: [S_ch*K, N]
+    bf16. want = (slot mod eff) + 1 with eff = clip(max rank, 1, k);
+    +0.25 numerator bias absorbs Mosaic's reciprocal-division rounding
+    (see ops/grouping._want_tile)."""
+    s_ch, n = rank_m.shape
+    eff = jnp.clip(jnp.max(rank_m, axis=1, keepdims=True), 1.0, float(k))
+    slot = jax.lax.broadcasted_iota(jnp.int32, (s_ch, k), 1).astype(
+        jnp.float32)
+    want = slot - eff * jnp.floor((slot + 0.25) / eff) + 1.0  # [S_ch, K]
+    oh3 = jnp.where(rank_m[:, None, :] == want[:, :, None], 1.0, 0.0)
+    return oh3.astype(jnp.bfloat16).reshape(s_ch * k, n)
+
+
+def _extract_kernel(r2, k, f0, ct, pt, tri, pay, qc, z1, sums, sumsq):
+    s_ch = ct.shape[1]
     _zero_at_first(sums, sumsq)
-    oh = _onehot_tile(rank_ref, k, k_t, kt)            # [S*K_t, N]
+    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
     g = jnp.dot(oh, pay[0], preferred_element_type=jnp.float32)
-    qc_rep = _expand_rows(qc, k_t)                     # [S*K_t, F0] f32
-    z = _bf16(g) - _bf16(qc_rep)   # bf16 subtract, matching the
-    z1[0] = z.reshape(s, k_t, -1)  # unfused grouped_pf - qc order
+    qc_rep = _expand_rows(qc, k)                       # [S_ch*K, F0] f32
+    z = _bf16(g) - _bf16(qc_rep)        # bf16 subtract, matching the
+    z1[0] = z.reshape(s_ch, k, -1)      # unfused grouped_pf - qc order
     zf = _f32(z)
     sums[:] += jnp.sum(zf, axis=0, keepdims=True)
     sumsq[:] += jnp.sum(zf * zf, axis=0, keepdims=True)
@@ -173,36 +206,40 @@ def _split(refs, *counts):
     return out
 
 
-def _stats_kernel(depth, z1, *refs):
+def _rows(z1_block, f0, k):
+    """[S_ch, K, F0] block -> ([rows, F0] view, s_chunk)."""
+    s_ch = z1_block.shape[0]
+    return z1_block.reshape(s_ch * k, f0), s_ch
+
+
+def _stats_kernel(depth, k, f0, z1, *refs):
     """Accumulate Sum / Sum-of-squares of z_depth over all rows."""
     packs, ws, bs, outs = _split(refs, depth, depth, depth, 2)
     _zero_at_first(*outs)
-    tile = z1[0]
-    s_ch, k, f0 = tile.shape
-    zs, _ = _chain_all(tile.reshape(s_ch * k, f0), packs, ws, bs)
+    tile, _ = _rows(z1[0], f0, k)
+    zs, _ = _chain_all(tile, packs, ws, bs)
     zf = _f32(zs[depth])
     outs[0][:] += jnp.sum(zf, axis=0, keepdims=True)
     outs[1][:] += jnp.sum(zf * zf, axis=0, keepdims=True)
 
 
-def _fwd_out_kernel(depth, z1, *refs):
+def _fwd_out_kernel(depth, k, f0, z1, *refs):
     packs, ws, bs, (pooled,) = _split(refs, depth, depth - 1, depth - 1,
                                       1)
-    tile = z1[0]
-    s_ch, k, f0 = tile.shape
-    _, hs = _chain_all(tile.reshape(s_ch * k, f0), packs, ws, bs)
+    tile, s_ch = _rows(z1[0], f0, k)
+    _, hs = _chain_all(tile, packs, ws, bs)
     h = hs[-1]
     pooled[0] = jnp.max(h.reshape(s_ch, k, h.shape[-1]), axis=1)
 
 
-def _bwd_r_kernel(depth, j, train, z1, *refs):
+def _bwd_r_kernel(depth, j, train, k, f0, z1, *refs):
     """Accumulate R_j = (Sum dy_j, Sum dy_j * xhat_j), plus per-pass
     extras: the first pass (j = depth-1) computes and OUTPUTS the
     max-pool tie counts (each s is complete within one tile, so no
     separate ties pass is needed); passes j < depth-1 take ties as an
     input and also accumulate dW_{j+1}, db_{j+1}; the last pass (j = 0)
-    additionally writes dy_0 to HBM so the dz1/d_payload pass can skip
-    the whole chain + cascade recompute."""
+    additionally writes dy_0 (flat bf16) so the dz1/d_payload pass can
+    skip the whole chain + cascade recompute."""
     first = j == depth - 1
     n_in = 2 if first else 3
     n_acc = 2 if first else 4
@@ -210,11 +247,9 @@ def _bwd_r_kernel(depth, j, train, z1, *refs):
     packs, ws, bs, ins, accs, tiles = _split(
         refs, depth, depth - 1, depth - 1, n_in, n_acc, n_tile)
     _zero_at_first(*accs)
-    tile = z1[0]
-    s_ch, k, f0 = tile.shape
-    rows = s_ch * k
+    tile, s_ch = _rows(z1[0], f0, k)
     expand = lambda ref: _expand_rows(ref, k)
-    zs, hs = _chain_all(tile.reshape(rows, f0), packs, ws, bs)
+    zs, hs = _chain_all(tile, packs, ws, bs)
     if first:
         pooled, dpooled = ins
         pooled_rows = expand(pooled)
@@ -244,40 +279,36 @@ def _bwd_r_kernel(depth, j, train, z1, *refs):
     accs[1][:] += jnp.sum(dyf * xhat, axis=0, keepdims=True)
 
 
-def _bwd_dz1_kernel(r2, k, k_t, train, ct, pt, tri, z1, dy0, pack0,
-                    dpay, dqc, rank_ref, acc_ref):
+def _bwd_dz1_kernel(r2, k, f0, train, ct, pt, tri, z1, dy0, pack0,
+                    dpay, dqc, acc_ref):
     """Final backward pass: dz1 (BN-0 backward of the cached dy_0) ->
     d_payload via the one-hot transpose on the MXU, and
     d_qc = -Sum over slots of dz1 (f32)."""
-    s = ct.shape[-1]
-    kt = pl.program_id(1)
+    s_ch = ct.shape[1]
+    i = pl.program_id(1)
 
-    @pl.when(kt == 0)
+    @pl.when(i == 0)
     def _():
-        rank_m, _ = _masked_rank(r2, ct[0], pt[0], tri[:])
-        rank_ref[:] = rank_m
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        dqc[0] = jnp.zeros_like(dqc[0])
 
-    tile = z1[0]                                       # [S, K_t, F0]
-    _, k_t_, f0 = tile.shape
-    rows = s * k_t
-    dy0_rows = dy0[0].reshape(rows, f0)
+    tile, _ = _rows(z1[0], f0, k)
+    dy0_rows, _ = _rows(dy0[0], f0, k)
     a, mu, r = pack0[0:1, :], pack0[2:3, :], pack0[3:4, :]
     if train:
         mdy, mdyx = pack0[4:5, :], pack0[5:6, :]
-        xhat = (_f32(tile.reshape(rows, f0)) - mu) * r
+        xhat = (_f32(tile) - mu) * r
         dz1 = _bf16((_f32(dy0_rows) - mdy - xhat * mdyx) * a)
     else:
         dz1 = _bf16(_f32(dy0_rows) * a)
 
-    oh = _onehot_tile(rank_ref, k, k_t, kt)            # [S*K_t, N]
+    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
     acc_ref[:] += jax.lax.dot_general(
         oh, dz1, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [N, F0]
-    dqc[0] += -jnp.sum(_f32(dz1).reshape(s, k_t, f0), axis=1)
+    dqc[0] = -jnp.sum(_f32(dz1).reshape(s_ch, k, f0), axis=1)
 
-    @pl.when(kt == pl.num_programs(1) - 1)
+    @pl.when(i == pl.num_programs(1) - 1)
     def _():
         dpay[0] = acc_ref[:].astype(dpay.dtype)
 
@@ -289,14 +320,6 @@ def _bwd_dz1_kernel(r2, k, k_t, train, ct, pt, tri, z1, dy0, pack0,
 
 def _vspec(block, index):
     return pl.BlockSpec(block, index, memory_space=pltpu.VMEM)
-
-
-def _geo_specs(s, n):
-    return [
-        _vspec((1, 3, s), lambda b_, i: (b_, 0, 0)),   # centroid planes
-        _vspec((1, 3, n), lambda b_, i: (b_, 0, 0)),   # point planes
-        _vspec((n, n), lambda b_, i: (0, 0)),          # triangular ones
-    ]
 
 
 def _param_specs(packs, ws, bs):
@@ -311,56 +334,87 @@ def _acc_spec(shape):
             jax.ShapeDtypeStruct(shape, jnp.float32))
 
 
-def _s_chunk(s, k):
-    return max(1, min(s, _CHAIN_ROWS // k))
+def _div_chunk(s, s_ch):
+    s_ch = max(1, min(s, s_ch))
+    while s % s_ch:
+        s_ch -= 1
+    return s_ch
+
+
+def _s_chunk(s, k, f_max):
+    """Rows per chain tile, bounded by VMEM: ~5 live f32 [rows, F_max]
+    intermediates (chain recompute + cascade) must fit ~10 MB."""
+    rows = min(_CHAIN_ROWS, max(512, (10 << 20) // (f_max * 4 * 5)))
+    return _div_chunk(s, rows // k)
+
+
+def _s_chunk_extract(s, k, n):
+    """s-chunk for extraction passes: the [S_ch, K, N] one-hot build
+    (f32 compare + bf16 copy, ~6 B/element transient) must fit ~8 MB."""
+    return _div_chunk(s, max(1, (8 << 20) // (k * n * 6)))
+
+
+def _flat_struct(b, s, k, f0):
+    # Natural [B, S, K, F0] storage. A dense flat [B, S*K*F0/128, 128]
+    # packing would dodge the 128-lane HBM padding (2-4x bytes at
+    # F0 = 64/32), but the required in-kernel repack is a lane-width-
+    # changing reshape, which Mosaic cannot lower ("unsupported shape
+    # cast" for vector<1024x32> -> vector<256x128>). Round-3 idea: a
+    # transposed [B, F0, S*K] layout with a roll-based segment max.
+    return jax.ShapeDtypeStruct((b, s, k, f0), jnp.bfloat16)
+
+
+def _flat_spec(s_ch, k, f0):
+    return _vspec((1, s_ch, k, f0), lambda b_, i: (b_, i, 0, 0))
+
+
+def _geo_specs(s_ch, n):
+    return [
+        _vspec((1, s_ch, 3), lambda b_, i: (b_, i, 0)),  # centroids
+        _vspec((1, 3, n), lambda b_, i: (b_, 0, 0)),     # point planes
+        _vspec((n, n), lambda b_, i: (0, 0)),            # triangular 1s
+    ]
 
 
 def _call_extract(cent, xyz, pf, qc, radius, nsample, interpret):
     b, s, _ = cent.shape
     n = xyz.shape[1]
     f0 = pf.shape[-1]
-    k_t = _slot_tiles(s, n, nsample)
-    ct = jnp.swapaxes(cent, 1, 2)
-    pt = jnp.swapaxes(xyz, 1, 2)
+    s_ch = _s_chunk_extract(s, nsample, n)
+    pt = jnp.swapaxes(xyz, 1, 2)        # [B, 3, N]
     sspec, sshape = _acc_spec((1, f0))
     qspec, qshape = _acc_spec((1, f0))
     z1, sums, sumsq = pl.pallas_call(
-        partial(_extract_kernel, radius * radius, nsample, k_t),
-        grid=(b, nsample // k_t),
-        in_specs=_geo_specs(s, n) + [
+        partial(_extract_kernel, radius * radius, nsample, f0),
+        grid=(b, s // s_ch),
+        in_specs=_geo_specs(s_ch, n) + [
             _vspec((1, n, f0), lambda b_, i: (b_, 0, 0)),
-            _vspec((1, s, f0), lambda b_, i: (b_, 0, 0)),
+            _vspec((1, s_ch, f0), lambda b_, i: (b_, i, 0)),
         ],
-        out_specs=[
-            _vspec((1, s, k_t, f0), lambda b_, i: (b_, 0, i, 0)),
-            sspec, qspec,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, s, nsample, f0), jnp.bfloat16),
-            sshape, qshape,
-        ],
-        scratch_shapes=[pltpu.VMEM((s, n), jnp.float32)],
+        out_specs=[_flat_spec(s_ch, nsample, f0), sspec, qspec],
+        out_shape=[_flat_struct(b, s, nsample, f0), sshape, qshape],
         interpret=interpret,
-    )(ct, pt, _tri(n), pf, _bf16(qc))
+    )(cent, pt, _tri(n), pf, _bf16(qc))
     return z1, sums[0], sumsq[0]
 
 
-def _chain_grid_specs(z1, packs, ws, bs):
-    b, s, k, f0 = z1.shape
-    s_ch = _s_chunk(s, k)
+def _chain_grid_specs(z1, s, k, f0, packs, ws, bs):
+    b = z1.shape[0]
+    f_max = max(p_.shape[-1] for p_ in packs)
+    s_ch = _s_chunk(s, k, f_max)
     grid = (b, s // s_ch)
-    specs = [_vspec((1, s_ch, k, f0), lambda b_, i: (b_, i, 0, 0))]
+    specs = [_flat_spec(s_ch, k, f0)]
     specs += _param_specs(packs, ws, bs)
     return grid, specs, s_ch
 
 
-def _call_stats(z1, packs, ws, bs, f_out, interpret):
+def _call_stats(z1, s, k, f0, packs, ws, bs, f_out, interpret):
     depth = len(packs)
-    grid, specs, _ = _chain_grid_specs(z1, packs, ws, bs)
+    grid, specs, _ = _chain_grid_specs(z1, s, k, f0, packs, ws, bs)
     sspec, sshape = _acc_spec((1, f_out))
     qspec, qshape = _acc_spec((1, f_out))
     sums, sumsq = pl.pallas_call(
-        partial(_stats_kernel, depth),
+        partial(_stats_kernel, depth, k, f0),
         grid=grid,
         in_specs=specs,
         out_specs=[sspec, qspec],
@@ -370,13 +424,13 @@ def _call_stats(z1, packs, ws, bs, f_out, interpret):
     return sums[0], sumsq[0]
 
 
-def _call_fwd_out(z1, packs, ws, bs, interpret):
+def _call_fwd_out(z1, s, k, f0, packs, ws, bs, interpret):
     depth = len(packs)
-    b, s, k, f0 = z1.shape
+    b = z1.shape[0]
     f_out = packs[-1].shape[-1]
-    grid, specs, s_ch = _chain_grid_specs(z1, packs, ws, bs)
+    grid, specs, s_ch = _chain_grid_specs(z1, s, k, f0, packs, ws, bs)
     return pl.pallas_call(
-        partial(_fwd_out_kernel, depth),
+        partial(_fwd_out_kernel, depth, k, f0),
         grid=grid,
         in_specs=specs,
         out_specs=_vspec((1, s_ch, f_out), lambda b_, i: (b_, i, 0)),
@@ -385,17 +439,17 @@ def _call_fwd_out(z1, packs, ws, bs, interpret):
     )(z1, *packs, *ws, *bs)
 
 
-def _call_bwd_r(j, train, z1, packs, ws, bs, pooled, dpooled, ties,
-                interpret):
+def _call_bwd_r(j, train, z1, s, k, f0, packs, ws, bs, pooled, dpooled,
+                ties, interpret):
     """One backward pass. Returns (sdy, sdyx) plus: ties [B,S,F] when
     j == depth-1 (ties arg ignored); dW, db, dy0 when j == 0; dW, db
     for intermediate j."""
     depth = len(packs)
-    b, s, k, f0 = z1.shape
+    b = z1.shape[0]
     f_out = pooled.shape[-1]
     f_j = packs[j].shape[-1]
     first = j == depth - 1
-    grid, specs, s_ch = _chain_grid_specs(z1, packs, ws, bs)
+    grid, specs, s_ch = _chain_grid_specs(z1, s, k, f0, packs, ws, bs)
     pspec = _vspec((1, s_ch, f_out), lambda b_, i: (b_, i, 0))
     specs += [pspec, pspec] if first else [pspec, pspec, pspec]
     out_specs, out_shapes = [], []
@@ -409,14 +463,12 @@ def _call_bwd_r(j, train, z1, packs, ws, bs, pooled, dpooled, ties,
         out_shapes.append(jax.ShapeDtypeStruct((b, s, f_out),
                                                jnp.float32))
     elif j == 0:
-        out_specs.append(_vspec((1, s_ch, k, f0),
-                                lambda b_, i: (b_, i, 0, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((b, s, k, f0),
-                                               jnp.bfloat16))
+        out_specs.append(_flat_spec(s_ch, k, f0))
+        out_shapes.append(_flat_struct(b, s, k, f0))
     ins = (pooled, dpooled.astype(jnp.bfloat16)) if first else (
         pooled, dpooled.astype(jnp.bfloat16), ties)
     return pl.pallas_call(
-        partial(_bwd_r_kernel, depth, j, train),
+        partial(_bwd_r_kernel, depth, j, train, k, f0),
         grid=grid,
         in_specs=specs,
         out_specs=out_specs,
@@ -425,33 +477,31 @@ def _call_bwd_r(j, train, z1, packs, ws, bs, pooled, dpooled, ties,
     )(z1, *packs, *ws, *bs, *ins)
 
 
-def _call_bwd_dz1(cent, xyz, z1, dy0, pack0, radius, nsample, train,
-                  pay_dtype, interpret):
-    b, s, k, f0 = z1.shape
+def _call_bwd_dz1(cent, xyz, z1, dy0, s, k, f0, pack0, radius, nsample,
+                  train, pay_dtype, interpret):
+    b = z1.shape[0]
     n = xyz.shape[1]
-    k_t = _slot_tiles(s, n, nsample)
-    ct = jnp.swapaxes(cent, 1, 2)
+    s_ch = _s_chunk_extract(s, nsample, n)
     pt = jnp.swapaxes(xyz, 1, 2)
-    zspec = _vspec((1, s, k_t, f0), lambda b_, i: (b_, 0, i, 0))
+    fspec = _flat_spec(s_ch, k, f0)
     dpay, dqc = pl.pallas_call(
-        partial(_bwd_dz1_kernel, radius * radius, nsample, k_t, train),
-        grid=(b, nsample // k_t),
-        in_specs=_geo_specs(s, n) + [
-            zspec, zspec,
+        partial(_bwd_dz1_kernel, radius * radius, nsample, f0, train),
+        grid=(b, s // s_ch),
+        in_specs=_geo_specs(s_ch, n) + [
+            fspec, fspec,
             _vspec(pack0.shape, lambda b_, i: (0, 0)),
         ],
         out_specs=[
             _vspec((1, n, f0), lambda b_, i: (b_, 0, 0)),
-            _vspec((1, s, f0), lambda b_, i: (b_, 0, 0)),
+            _vspec((1, s_ch, f0), lambda b_, i: (b_, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, f0), pay_dtype),
             jax.ShapeDtypeStruct((b, s, f0), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((s, n), jnp.float32),
-                        pltpu.VMEM((n, f0), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n, f0), jnp.float32)],
         interpret=interpret,
-    )(ct, pt, _tri(n), z1, dy0, pack0)
+    )(cent, pt, _tri(n), z1, dy0, pack0)
     return dpay, dqc
 
 
@@ -473,10 +523,11 @@ def _make_pack(gamma, beta, mu, var, eps, mdy=None, mdyx=None):
 def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
               nsample, eps, train, running, interpret):
     depth = len(gammas)
-    m = None
+    b, s, _ = new_xyz.shape
+    k = nsample
+    f0 = pf.shape[-1]
     z1, s0, q0 = _call_extract(new_xyz, xyz, pf, qc, radius, nsample,
                                interpret)
-    b, s, k, _ = z1.shape
     m = b * s * k
     means, variances, packs = [], [], []
     for d in range(depth):
@@ -485,8 +536,8 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
                 sums, sumsq = s0, q0
             else:
                 sums, sumsq = _call_stats(
-                    z1, packs, ws[:d], bs[:d], gammas[d].shape[0],
-                    interpret)
+                    z1, s, k, f0, packs, ws[:d], bs[:d],
+                    gammas[d].shape[0], interpret)
             mu = sums / m
             var = sumsq / m - mu * mu
         else:
@@ -494,7 +545,7 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
         means.append(mu)
         variances.append(var)
         packs.append(_make_pack(gammas[d], betas[d], mu, var, eps))
-    pooled = _call_fwd_out(z1, packs, ws, bs, interpret)
+    pooled = _call_fwd_out(z1, s, k, f0, packs, ws, bs, interpret)
     return pooled, means, variances, z1, packs
 
 
@@ -540,7 +591,9 @@ def _fgc_bwd(radius, nsample, eps, train, interpret, res, cts):
      running) = res
     dpooled = cts[0]  # stats cotangents ignored (variable updates)
     depth = len(packs)
-    b, s, k, f0 = z1.shape
+    b, s = pooled.shape[:2]
+    k = nsample
+    f0 = packs[0].shape[-1]
     m = b * s * k
     packs = list(packs)
     ties = None
@@ -548,8 +601,8 @@ def _fgc_bwd(radius, nsample, eps, train, interpret, res, cts):
     dgammas, dbetas = [None] * depth, [None] * depth
     dws, dbs = [None] * (depth - 1), [None] * (depth - 1)
     for j in range(depth - 1, -1, -1):
-        outs = _call_bwd_r(j, train, z1, packs, ws, bs, pooled,
-                           dpooled, ties, interpret)
+        outs = _call_bwd_r(j, train, z1, s, k, f0, packs, ws, bs,
+                           pooled, dpooled, ties, interpret)
         sdy, sdyx = outs[0][0], outs[1][0]
         dbetas[j] = sdy
         dgammas[j] = sdyx
@@ -563,8 +616,9 @@ def _fgc_bwd(radius, nsample, eps, train, interpret, res, cts):
         if train:
             # Fill the statistic rows for the next (lower) passes.
             packs[j] = packs[j].at[4].set(sdy / m).at[5].set(sdyx / m)
-    dpf, dqc = _call_bwd_dz1(new_xyz, xyz, z1, dy0, packs[0], radius,
-                             nsample, train, pf_tok.dtype, interpret)
+    dpf, dqc = _call_bwd_dz1(new_xyz, xyz, z1, dy0, s, k, f0,
+                             packs[0], radius, nsample, train,
+                             pf_tok.dtype, interpret)
     drunning = jax.tree_util.tree_map(jnp.zeros_like, running)
     return (jnp.zeros_like(new_xyz), jnp.zeros_like(xyz), dpf,
             dqc.astype(qc_tok.dtype), tuple(dgammas), tuple(dbetas),

@@ -270,9 +270,17 @@ def make_semisup_train_step(detector_model, boxpc_model,
                             weak_weight: float = 1.0,
                             weights: WeakLossWeights = WeakLossWeights(),
                             step_cfg: train_loop.StepConfig =
-                            train_loop.StepConfig()):
+                            train_loop.StepConfig(),
+                            weak_warmup_steps: int = 0):
     """One jit: supervised loss on the strong batch + weak losses on the
-    weak batch, single gradient step on the detector."""
+    weak batch, single gradient step on the detector.
+
+    `weak_warmup_steps` ramps the weak-loss weight linearly from 0: at
+    step 0 the detector's weak-class box predictions are noise, so the
+    BoxPC-fit / reprojection terms push against garbage and can hurt
+    (measured: transfer < control at toy scale without a ramp). The
+    ramp defers transfer pressure until the strong-supervised detector
+    produces meaningful boxes."""
 
     def step_fn(state: SemisupState, strong: Dict, weak: Dict
                 ) -> Tuple[SemisupState, Dict]:
@@ -302,7 +310,12 @@ def make_semisup_train_step(detector_model, boxpc_model,
                 mutable=["batch_stats"])
             wk = weak_losses(ep_w, weak, boxpc_model, boxpc_vars, cfg,
                              weights)
-            total = sup["total_loss"] + weak_weight * wk["weak_total_loss"]
+            w_eff = weak_weight
+            if weak_warmup_steps > 0:
+                w_eff = weak_weight * jnp.clip(
+                    det.step.astype(jnp.float32) / weak_warmup_steps,
+                    0.0, 1.0)
+            total = sup["total_loss"] + w_eff * wk["weak_total_loss"]
             return total, ({**sup, **wk, "combined_loss": total}, upd2,
                            ep_s)
 

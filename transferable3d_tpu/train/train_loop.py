@@ -42,6 +42,9 @@ class StepConfig:
     box_loss_weight: float = 1.0
     corner_loss_weight: float = 10.0
     compute_iou_metrics: bool = True
+    # Mask padded frustums via batch["valid"] (the on-device depth
+    # pipeline emits fixed-shape frame batches with padding boxes).
+    use_valid_weights: bool = False
 
 
 def labels_from_batch(batch: Dict[str, jnp.ndarray]) -> model_util.Labels:
@@ -94,10 +97,13 @@ def make_train_step(model, cfg: bins_lib.BinConfig, tx,
                 batch["points"], batch["one_hot"], train=True,
                 bn_momentum=bn_momentum, rngs={"dropout": rng},
                 mutable=["batch_stats"])
+            weights = (batch["valid"].astype(jnp.float32)
+                       if step_cfg.use_valid_weights else None)
             losses = model_util.get_loss(
                 end_points, labels, cfg,
                 box_loss_weight=step_cfg.box_loss_weight,
-                corner_loss_weight=step_cfg.corner_loss_weight)
+                corner_loss_weight=step_cfg.corner_loss_weight,
+                example_weights=weights)
             return losses["total_loss"], (losses, updates, end_points)
 
         grads, (losses, updates, end_points) = jax.grad(

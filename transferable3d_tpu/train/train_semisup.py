@@ -45,6 +45,9 @@ class SemisupConfig(config_lib.TrainConfig):
     weak_classes: Tuple[str, ...] = DEFAULT_WEAK
     boxpc_epochs: int = 20
     weak_weight: float = 1.0
+    # Linear warmup of the weak losses (steps); 0 disables. See
+    # semisup.make_semisup_train_step.
+    weak_warmup_steps: int = 0
     boxpc_restore: str = ""
     # Per-term weak-loss weights (ablation knobs; scripts/transfer_study.py).
     weak_fit: float = 1.0
@@ -173,7 +176,8 @@ def train(cfg: SemisupConfig) -> dict:
         weights=semisup.WeakLossWeights(
             fit=cfg.weak_fit, refine=cfg.weak_refine,
             reprojection=cfg.weak_reproj,
-            size_prior=cfg.weak_size_prior))
+            size_prior=cfg.weak_size_prior),
+        weak_warmup_steps=cfg.weak_warmup_steps)
     eval_step = train_loop.make_eval_step(detector, bins_cfg)
 
     ckpt = CheckpointManager(f"{cfg.log_dir}/ckpt")
