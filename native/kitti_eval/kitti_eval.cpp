@@ -437,23 +437,38 @@ int main(int argc, char** argv) {
   }
 
   std::printf("evaluating %zu frames\n", ids.size());
+  // PR-curve data directory (devkit-style plot/<class>_<metric>.txt:
+  // one row per recall sample point, columns = recall then the
+  // precision for easy/moderate/hard — consumable by gnuplot/numpy).
+  const std::string plot_dir = result_dir + "/plot";
+  ::mkdir(plot_dir.c_str(), 0755);
   for (const auto& cls : kClasses) {
-    std::ofstream stats(result_dir + "/stats_" +
-                        std::string(1, tolower(cls.name[0])) +
-                        cls.name.substr(1) + "_ap.txt");
+    std::string lower = cls.name;
+    lower[0] = tolower(lower[0]);
+    std::ofstream stats(result_dir + "/stats_" + lower + "_ap.txt");
     for (int m = 0; m < 3; ++m) {
       std::printf("%s AP(%s) @%.2f:", cls.name.c_str(), kMetricNames[m],
                   cls.min_overlap);
       stats << cls.name << " " << kMetricNames[m];
+      ApResult per_diff[3];
       for (int d = 0; d < 3; ++d) {
         auto res = EvalClassMetric(cls, static_cast<Metric>(m),
                                    static_cast<Difficulty>(d), frames);
+        per_diff[d] = res;
         std::printf(" %s=%.2f/%.2f", kDifficultyNames[d], res.ap_r11,
                     res.ap_r40);
         stats << " " << res.ap_r11;
       }
       std::printf("  (R11/R40)\n");
       stats << "\n";
+      std::ofstream plot(plot_dir + "/" + lower + "_" +
+                         kMetricNames[m] + ".txt");
+      for (int i = 0; i < N_SAMPLE_PTS; ++i) {
+        plot << (i / (N_SAMPLE_PTS - 1.0));
+        for (int d = 0; d < 3; ++d)
+          plot << " " << per_diff[d].precision[i];
+        plot << "\n";
+      }
     }
   }
   return 0;

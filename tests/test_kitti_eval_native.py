@@ -62,6 +62,14 @@ def test_perfect_detections_high_ap(tmp_path, binary):
         for dif in ["easy", "moderate", "hard"]:
             assert aps[("Car", metric, dif)] > 95.0, (metric, dif, aps)
     assert os.path.exists(f"{res_dir}/stats_car_ap.txt")
+    # Devkit-style PR-curve data (SURVEY N4 "writes plots/stats"):
+    # 41 recall sample rows x (recall + easy/moderate/hard precision).
+    for metric in ["2d", "bev", "3d"]:
+        curve = np.loadtxt(f"{res_dir}/plot/car_{metric}.txt")
+        assert curve.shape == (41, 4), curve.shape
+        assert curve[0, 0] == 0.0 and curve[-1, 0] == 1.0
+        # Perfect detections: precision ~1 along the whole curve.
+        assert curve[:, 1:].min() > 0.95
 
 
 def test_no_detections_ap0(tmp_path, binary):
