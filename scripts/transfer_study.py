@@ -41,10 +41,11 @@ def run_one(variant: str, seed: int, args) -> dict:
     from transferable3d_tpu.train import train_semisup
     from transferable3d_tpu.utils.checkpoint import CheckpointManager
 
-    weights = {"transfer": (1, 1, 1, 0.5), "control": (1, 1, 1, 0.5),
-               "no_fit": (0, 1, 1, 0.5), "no_refine": (1, 0, 1, 0.5),
-               "no_reproj": (1, 1, 0, 0.5), "no_prior": (1, 1, 1, 0.0)}
-    wf, wr, wp, ws = weights[variant]
+    weights = {"transfer": (1, 1, 1, 0.5, 1), "control": (1, 1, 1, 0.5, 1),
+               "no_fit": (0, 1, 1, 0.5, 1), "no_refine": (1, 0, 1, 0.5, 1),
+               "no_reproj": (1, 1, 0, 0.5, 1), "no_prior": (1, 1, 1, 0, 1),
+               "no_sizecls": (1, 1, 1, 0.5, 0)}
+    wf, wr, wp, ws, wsc = weights[variant]
     log_dir = os.path.join(args.out_dir, f"{variant}_s{seed}")
     cfg = train_semisup.SemisupConfig(
         model="frustum_pointnets_v1", num_point=args.num_point,
@@ -57,7 +58,8 @@ def run_one(variant: str, seed: int, args) -> dict:
         eval_every_epochs=20, ckpt_every_epochs=20,
         weak_weight=0.0 if variant == "control" else args.weak_weight,
         weak_warmup_steps=args.weak_warmup_steps,
-        weak_fit=wf, weak_refine=wr, weak_reproj=wp, weak_size_prior=ws)
+        weak_fit=wf, weak_refine=wr, weak_reproj=wp, weak_size_prior=ws,
+        weak_size_cls=wsc)
 
     t0 = time.time()
     train_semisup.train(cfg)
@@ -122,10 +124,21 @@ def main():
     by_var = {}
     for r in results:
         by_var.setdefault(r["variant"], []).append(r["mAP"])
-    base = np.mean(by_var.get("control", [0]))
+    ctl = by_var.get("control", [0])
+    base = np.mean(ctl)
     for v, xs in sorted(by_var.items()):
-        print(f"{v:10s} {np.mean(xs):.4f} +/- {np.std(xs):.4f}  "
-              f"(delta vs control: {np.mean(xs) - base:+.4f}, n={len(xs)})")
+        line = (f"{v:10s} {np.mean(xs):.4f} +/- {np.std(xs):.4f}  "
+                f"(delta vs control: {np.mean(xs) - base:+.4f}, "
+                f"n={len(xs)}")
+        if v != "control" and len(xs) >= 3 and len(ctl) >= 3:
+            try:
+                from scipy.stats import mannwhitneyu
+                p_val = mannwhitneyu(xs, ctl,
+                                     alternative="greater").pvalue
+                line += f", U-test p={p_val:.3f}"
+            except Exception:
+                pass
+        print(line + ")")
 
 
 if __name__ == "__main__":

@@ -118,6 +118,13 @@ class WeakLossWeights:
     refine: float = 1.0
     reprojection: float = 1.0
     size_prior: float = 0.5
+    # Size-class CE from the 2D class label. SUN-RGBD uses one size
+    # cluster per class, so a weak example's size CLASS is known even
+    # without 3D GT — without this, argmax(size_scores) on weak classes
+    # is unsupervised and can lock onto a wrong cluster that the
+    # residual/prior terms then fight (the observed collapse mode:
+    # weak-class mAP ~0 with healthy strong-class metrics).
+    size_cls: float = 1.0
 
 
 def differentiable_box(end_points: Dict, cfg: bins_lib.BinConfig
@@ -240,11 +247,20 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
     prior = mean_sizes[batch["class_idx"]]
     size_prior_loss = huber((box.size - prior) / prior)
 
+    # (e) size-class CE from the known 2D class label (see
+    # WeakLossWeights.size_cls).
+    logp = jax.nn.log_softmax(end_points["size_scores"], axis=-1)
+    size_cls_loss = -jnp.mean(
+        jnp.take_along_axis(logp, batch["class_idx"][:, None],
+                            axis=1)[:, 0])
+
     total = (weights.fit * fit_loss + weights.refine * refine_loss
              + weights.reprojection * reproj_loss
-             + weights.size_prior * size_prior_loss)
+             + weights.size_prior * size_prior_loss
+             + weights.size_cls * size_cls_loss)
     return {
         "weak_total_loss": total,
+        "weak_size_cls_loss": size_cls_loss,
         "weak_fit_loss": fit_loss,
         "weak_refine_loss": refine_loss,
         "weak_reproj_loss": reproj_loss,

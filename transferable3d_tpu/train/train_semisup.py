@@ -54,6 +54,7 @@ class SemisupConfig(config_lib.TrainConfig):
     weak_refine: float = 1.0
     weak_reproj: float = 1.0
     weak_size_prior: float = 0.5
+    weak_size_cls: float = 1.0
 
 
 def _filter(records, cfg: bins_lib.BinConfig, classes: Sequence[str]):
@@ -176,7 +177,8 @@ def train(cfg: SemisupConfig) -> dict:
         weights=semisup.WeakLossWeights(
             fit=cfg.weak_fit, refine=cfg.weak_refine,
             reprojection=cfg.weak_reproj,
-            size_prior=cfg.weak_size_prior),
+            size_prior=cfg.weak_size_prior,
+            size_cls=cfg.weak_size_cls),
         weak_warmup_steps=cfg.weak_warmup_steps)
     eval_step = train_loop.make_eval_step(detector, bins_cfg)
 
