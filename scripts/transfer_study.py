@@ -41,10 +41,10 @@ def run_one(variant: str, seed: int, args) -> dict:
     from transferable3d_tpu.train import train_semisup
     from transferable3d_tpu.utils.checkpoint import CheckpointManager
 
-    weights = {"transfer": (1, 1, 1, 0.5, 1), "control": (1, 1, 1, 0.5, 1),
-               "no_fit": (0, 1, 1, 0.5, 1), "no_refine": (1, 0, 1, 0.5, 1),
-               "no_reproj": (1, 1, 0, 0.5, 1), "no_prior": (1, 1, 1, 0, 1),
-               "no_sizecls": (1, 1, 1, 0.5, 0)}
+    weights = {"transfer": (1, 1, 1, 0.5, 0), "control": (1, 1, 1, 0.5, 0),
+               "no_fit": (0, 1, 1, 0.5, 0), "no_refine": (1, 0, 1, 0.5, 0),
+               "no_reproj": (1, 1, 0, 0.5, 0), "no_prior": (1, 1, 1, 0, 0),
+               "with_sizecls": (1, 1, 1, 0.5, 1)}
     wf, wr, wp, ws, wsc = weights[variant]
     log_dir = os.path.join(args.out_dir, f"{variant}_s{seed}")
     cfg = train_semisup.SemisupConfig(

@@ -120,11 +120,13 @@ class WeakLossWeights:
     size_prior: float = 0.5
     # Size-class CE from the 2D class label. SUN-RGBD uses one size
     # cluster per class, so a weak example's size CLASS is known even
-    # without 3D GT — without this, argmax(size_scores) on weak classes
-    # is unsupervised and can lock onto a wrong cluster that the
-    # residual/prior terms then fight (the observed collapse mode:
-    # weak-class mAP ~0 with healthy strong-class metrics).
-    size_cls: float = 1.0
+    # without 3D GT. Motivated by a collapse mode (weak-class mAP ~0
+    # with healthy strong-class metrics, argmax(size_scores) locked on
+    # a wrong cluster) — but the seeded A/B showed it LOWERED the
+    # stable seeds' mAP (0.60/0.67 -> 0.25/0.38 at weight 1.0) without
+    # fixing the collapsing seed, so it defaults OFF; available for
+    # tuning on real data.
+    size_cls: float = 0.0
 
 
 def differentiable_box(end_points: Dict, cfg: bins_lib.BinConfig

@@ -54,7 +54,7 @@ class SemisupConfig(config_lib.TrainConfig):
     weak_refine: float = 1.0
     weak_reproj: float = 1.0
     weak_size_prior: float = 0.5
-    weak_size_cls: float = 1.0
+    weak_size_cls: float = 0.0
 
 
 def _filter(records, cfg: bins_lib.BinConfig, classes: Sequence[str]):
