@@ -180,3 +180,46 @@ def test_dp_invariance_v2_1_vs_8_devices():
         num += float(np.sum((np.asarray(a) - np.asarray(b)) ** 2))
         den += float(np.sum(np.asarray(a) ** 2))
     assert (num / den) ** 0.5 < 2e-2, (num / den) ** 0.5
+
+
+def test_valid_weight_masking():
+    """StepConfig.use_valid_weights: padded frustums (valid=False) must
+    not contribute to the loss or gradients (the on-device depth
+    pipeline emits fixed-shape frame batches with padding boxes)."""
+    ds = _data(n=8, seed=5)
+    batch = dict(ds.get_batch(list(range(8))))
+    model = FrustumPointNetV1(cfg=CFG, num_object_point=64)
+    lr_sched = schedules.exponential_staircase_lr(base_lr=1e-3,
+                                                  batch_size=8)
+    bn_sched = schedules.bn_momentum_schedule(batch_size=8)
+    tx = optax.sgd(lr_sched)
+    state = train_loop.create_train_state(model, CFG, tx, batch, seed=0)
+    step = train_loop.make_train_step(
+        model, CFG, tx, lr_sched, bn_sched,
+        step_cfg=train_loop.StepConfig(compute_iou_metrics=False,
+                                       use_valid_weights=True))
+
+    batch_a = dict(batch)
+    batch_a["valid"] = np.ones(8, bool)
+    # Corrupt the last 4 examples' labels AND mark them invalid: the
+    # loss must be identical to the clean all-valid run on the first 4.
+    batch_b = {k: np.array(v, copy=True) for k, v in batch.items()}
+    batch_b["seg"][4:] = 1 - batch_b["seg"][4:]
+    batch_b["center"][4:] += 50.0
+    batch_b["valid"] = np.array([True] * 4 + [False] * 4)
+
+    batch_a_half = {k: np.array(v, copy=True) for k, v in batch.items()}
+    batch_a_half["valid"] = np.array([True] * 4 + [False] * 4)
+
+    # The step donates its state; use a fresh (identical, seed-0) state
+    # per invocation.
+    mk_state = lambda: train_loop.create_train_state(model, CFG, tx,
+                                                     batch, seed=0)
+    _, m_clean = step(mk_state(), batch_a_half)
+    _, m_corrupt = step(mk_state(), batch_b)
+    np.testing.assert_allclose(float(m_clean["total_loss"]),
+                               float(m_corrupt["total_loss"]),
+                               rtol=1e-5)
+    # And an invalid-label batch must not blow the loss up vs all-valid.
+    _, m_all = step(mk_state(), batch_a)
+    assert np.isfinite(float(m_all["total_loss"]))
