@@ -199,5 +199,41 @@ def main(mode: str = "train") -> None:
     }))
 
 
+def run_all() -> None:
+    """Run all five benchmark modes, each in a fresh subprocess, and
+    write the results to bench_all.json (VERDICT r02 item 5: every
+    README performance number must be a driver-auditable artifact)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    modes = [
+        ("v1_train", [], {}),
+        ("v1_infer", ["--infer"], {}),
+        ("v2_train", [], {"T3D_MODEL": "v2"}),
+        ("v2_infer", ["--infer"], {"T3D_MODEL": "v2"}),
+        ("e2e_train", [], {"T3D_E2E": "1"}),
+    ]
+    results = {}
+    for name, argv, env_extra in modes:
+        env = dict(os.environ, **env_extra)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py")] + argv,
+            env=env, capture_output=True, text=True, timeout=1800)
+        line = [l for l in proc.stdout.strip().splitlines()
+                if l.startswith("{")]
+        if proc.returncode != 0 or not line:
+            results[name] = {"error": proc.stderr[-2000:]}
+        else:
+            results[name] = json.loads(line[-1])
+        print(name, "->", results.get(name), flush=True)
+    out_path = os.path.join(here, "bench_all.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out_path}")
+
+
 if __name__ == "__main__":
+    if "--all" in sys.argv:
+        sys.exit(run_all())
     sys.exit(main("infer" if "--infer" in sys.argv else "train"))

@@ -2,14 +2,11 @@
 
 Wall timing through the TPU relay lies (CLAUDE.md), so each stage is
 profiled in isolation and the xplane exclusive device time is reported
-(reusing profile_step.parse machinery).
+(utils.profiling.device_ms).
 """
 
-import collections
-import glob
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,60 +19,10 @@ jax.config.update("jax_default_prng_impl", "rbg")
 from transferable3d_tpu.models.pointnet2 import (FeaturePropagation,
                                                  SetAbstraction,
                                                  SetAbstractionMSG)
+from transferable3d_tpu.utils.profiling import device_ms
 
 B = 128
 DTYPE = jnp.bfloat16
-STEPS = 3
-
-
-def device_ms(fn, *args) -> float:
-    """Total exclusive device ms for one call of jitted fn."""
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-
-    fn = jax.jit(fn)
-    out = fn(*args)
-    jax.block_until_ready(out)
-    trace_dir = tempfile.mkdtemp(prefix="t3d_stage_")
-    jax.profiler.start_trace(trace_dir)
-    for _ in range(STEPS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    jax.profiler.stop_trace()
-
-    files = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
-                      recursive=True)
-    xs = xplane_pb2.XSpace()
-    with open(files[0], "rb") as f:
-        xs.ParseFromString(f.read())
-    per_op = collections.Counter()
-    for plane in xs.planes:
-        if not plane.name.startswith("/device:TPU"):
-            continue
-        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
-        for line in plane.lines:
-            if line.name != "XLA Ops":
-                continue
-            evs = sorted((ev.offset_ps, ev.offset_ps + ev.duration_ps,
-                          ev_names.get(ev.metadata_id, "?"))
-                         for ev in line.events)
-            stack = []
-            for start, end, name in evs:
-                while stack and stack[-1][1] <= start:
-                    s, e, n, child = stack.pop()
-                    per_op[n] += (e - s) - child
-                    if stack:
-                        stack[-1] = (stack[-1][0], stack[-1][1],
-                                     stack[-1][2], stack[-1][3] + (e - s))
-                stack.append((start, end, name, 0))
-            while stack:
-                s, e, n, child = stack.pop()
-                per_op[n] += (e - s) - child
-                if stack:
-                    stack[-1] = (stack[-1][0], stack[-1][1], stack[-1][2],
-                                 stack[-1][3] + (e - s))
-    per_op = {n: v for n, v in per_op.items()
-              if not n.startswith("%while") and "async" not in n}
-    return sum(per_op.values()) / (STEPS * 1e9)
 
 
 def bench_module(name, mod, *inputs):

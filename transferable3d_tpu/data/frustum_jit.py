@@ -74,9 +74,13 @@ def _sample_in_box(pts: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
     keys = jax.random.uniform(rng, (n,))
     score = jnp.where(inside, keys, -jnp.inf)
     k_eff = min(npoints, n)
-    _, idx = jax.lax.approx_max_k(score, k_eff)
+    vals, idx = jax.lax.approx_max_k(score, k_eff)
     slot = jnp.arange(npoints)
-    idx = jnp.where(slot[:k_eff] < jnp.maximum(count, 1), idx, idx[0])
+    # Gate on finiteness, not just `slot < count`: approx_max_k's
+    # PartialReduce bins can miss in-box points (recall 0.95), letting
+    # -inf (out-of-frustum) entries land in slots below `count`.
+    keep = jnp.isfinite(vals) & (slot[:k_eff] < jnp.maximum(count, 1))
+    idx = jnp.where(keep, idx, idx[0])
     if npoints > n:
         idx = jnp.concatenate(
             [idx, jnp.broadcast_to(idx[:1], (npoints - n,))])

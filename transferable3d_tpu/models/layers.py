@@ -76,7 +76,9 @@ def on_tpu() -> bool:
     # must not be traced for it.
     d = jax.config.jax_default_device
     if d is not None:
-        return "TPU" in d.device_kind
+        # jax.default_device also accepts a platform string ('cpu').
+        kind = d.device_kind if hasattr(d, "device_kind") else str(d)
+        return "TPU" in kind.upper()
     return any("TPU" in d.device_kind for d in jax.devices())
 
 

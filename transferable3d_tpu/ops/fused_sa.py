@@ -523,6 +523,10 @@ def _make_pack(gamma, beta, mu, var, eps, mdy=None, mdyx=None):
 def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
               nsample, eps, train, running, interpret):
     depth = len(gammas)
+    # Depth-1 chains would leave dy0 unset in the backward cascade
+    # (the j==0 pass doubles as the j==depth-1 pass); no SA config uses
+    # one, so reject instead of special-casing.
+    assert depth >= 2, "fused_grouped_chain requires chain depth >= 2"
     b, s, _ = new_xyz.shape
     k = nsample
     f0 = pf.shape[-1]
