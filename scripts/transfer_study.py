@@ -41,11 +41,16 @@ def run_one(variant: str, seed: int, args) -> dict:
     from transferable3d_tpu.train import train_semisup
     from transferable3d_tpu.utils.checkpoint import CheckpointManager
 
-    weights = {"transfer": (1, 1, 1, 0.5, 0), "control": (1, 1, 1, 0.5, 0),
-               "no_fit": (0, 1, 1, 0.5, 0), "no_refine": (1, 0, 1, 0.5, 0),
-               "no_reproj": (1, 1, 0, 0.5, 0), "no_prior": (1, 1, 1, 0, 0),
-               "with_sizecls": (1, 1, 1, 0.5, 1)}
-    wf, wr, wp, ws, wsc = weights[variant]
+    # (fit, refine, reproj, size_prior, size_cls, trust_gate)
+    weights = {"transfer": (1, 1, 1, 0.5, 0, True),
+               "control": (1, 1, 1, 0.5, 0, True),
+               "no_trust": (1, 1, 1, 0.5, 0, False),
+               "no_fit": (0, 1, 1, 0.5, 0, True),
+               "no_refine": (1, 0, 1, 0.5, 0, True),
+               "no_reproj": (1, 1, 0, 0.5, 0, True),
+               "no_prior": (1, 1, 1, 0, 0, True),
+               "with_sizecls": (1, 1, 1, 0.5, 1, True)}
+    wf, wr, wp, ws, wsc, trust = weights[variant]
     log_dir = os.path.join(args.out_dir, f"{variant}_s{seed}")
     cfg = train_semisup.SemisupConfig(
         model="frustum_pointnets_v1", num_point=args.num_point,
@@ -59,7 +64,7 @@ def run_one(variant: str, seed: int, args) -> dict:
         weak_weight=0.0 if variant == "control" else args.weak_weight,
         weak_warmup_steps=args.weak_warmup_steps,
         weak_fit=wf, weak_refine=wr, weak_reproj=wp, weak_size_prior=ws,
-        weak_size_cls=wsc)
+        weak_size_cls=wsc, weak_trust_gate=trust)
 
     t0 = time.time()
     train_semisup.train(cfg)

@@ -366,3 +366,39 @@ def test_provider_calib_gate_and_weak_losses_use_it():
                         train=False)
     losses = semisup.weak_losses(ep, batch, boxpc_model, boxpc_vars, CFG)
     assert np.isfinite(float(losses["weak_reproj_loss"]))
+
+
+def test_boxpc_trust_gate_zeroes_ood_examples():
+    """The trust gate (round 3) must zero the BoxPC-derived losses for
+    examples whose predicted delta exits the perturbation-sampler's
+    support — the round-2 collapse mechanism (fit_prob -> 1.0 with
+    runaway refine_loss) relied on exactly those gradients."""
+    w = semisup.WeakLossWeights()
+    box = BoxParams(center=jnp.zeros((4, 3)),
+                    size=jnp.ones((4, 3)),
+                    heading=jnp.zeros((4,)))
+    out = {
+        "fit_logit": jnp.zeros((4,)),
+        # ex0 in-domain; ex1 huge center delta; ex2 huge size delta;
+        # ex3 huge heading delta.
+        "delta_center": jnp.asarray(
+            [[0.1, 0.0, 0.0], [5.0, 0.0, 0.0], [0.1, 0, 0], [0.1, 0, 0]]),
+        "delta_size": jnp.asarray(
+            [[0.1, 0, 0], [0.1, 0, 0], [1.8, 0, 0], [0.1, 0, 0]]),
+        "delta_heading": jnp.asarray([0.2, 0.2, 0.2, 2.5]),
+    }
+    gate = semisup.boxpc_trust_gate(out, box, w)
+    np.testing.assert_array_equal(np.asarray(gate), [1.0, 0.0, 0.0, 0.0])
+
+    # Gating off -> all ones.
+    w_off = dataclasses.replace(w, trust_gate=False)
+    gate_off = semisup.boxpc_trust_gate(out, box, w_off)
+    np.testing.assert_array_equal(np.asarray(gate_off), [1.0] * 4)
+
+    # No gradient leaks through the gate.
+    def f(dc):
+        g = semisup.boxpc_trust_gate({**out, "delta_center": dc}, box, w)
+        return jnp.sum(g)
+
+    grads = jax.grad(f)(out["delta_center"])
+    np.testing.assert_array_equal(np.asarray(grads), 0.0)

@@ -172,3 +172,61 @@ def test_box3d_iou_pairs_is_fast():
             box_np.box3d_iou_np(ca[i], cb[j])
     t_loop = time.perf_counter() - t0
     assert t_loop / t_batch > 5, (t_loop, t_batch)
+
+
+def _random_eval_case(rng, n_frames, dets_per_frame, gts_per_frame,
+                      classname="chair"):
+    dets, gts = [], []
+    for fid in range(n_frames):
+        for _ in range(rng.randint(0, gts_per_frame + 1)):
+            c = np.array([rng.uniform(-3, 3), rng.uniform(-1, 1),
+                          rng.uniform(2, 8)])
+            s = rng.uniform(0.5, 2.0, 3)
+            h = rng.uniform(-np.pi, np.pi)
+            gts.append(ap_lib.BoxDetection.from_params(
+                fid, classname, c, s, h))
+            # A few dets near this GT (possible TPs + duplicates).
+            for _ in range(rng.randint(0, 3)):
+                dets.append(ap_lib.BoxDetection.from_params(
+                    fid, classname, c + rng.normal(0, 0.3, 3),
+                    s * rng.uniform(0.8, 1.2, 3),
+                    h + rng.normal(0, 0.2), rng.uniform()))
+        for _ in range(rng.randint(0, dets_per_frame + 1)):  # clutter
+            dets.append(ap_lib.BoxDetection.from_params(
+                fid, classname,
+                np.array([rng.uniform(-5, 5), 0, rng.uniform(2, 9)]),
+                rng.uniform(0.3, 2.5, 3), rng.uniform(-np.pi, np.pi),
+                rng.uniform()))
+    return dets, gts
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_vectorized_matches_reference(seed):
+    """The vectorized greedy matcher must agree with the loop spec on
+    randomized inputs (frames without GT, duplicates, score ties)."""
+    rng = np.random.RandomState(seed)
+    dets, gts = _random_eval_case(rng, n_frames=12, dets_per_frame=4,
+                                  gts_per_frame=3)
+    for bev in (False, True):
+        r1, p1, ap1 = ap_lib.eval_det_cls(dets, gts, 0.25, bev=bev)
+        r2, p2, ap2 = ap_lib.eval_det_cls_reference(dets, gts, 0.25,
+                                                    bev=bev)
+        np.testing.assert_allclose(r1, r2, atol=0)
+        np.testing.assert_allclose(p1, p2, atol=0)
+        assert ap1 == ap2
+
+
+def test_eval_det_cls_scale():
+    """~5k frames at realistic det/GT density must run in seconds, not
+    minutes (VERDICT r02 item 6: >= 10x over the per-detection loop)."""
+    import time
+    rng = np.random.RandomState(0)
+    dets, gts = _random_eval_case(rng, n_frames=5000, dets_per_frame=6,
+                                  gts_per_frame=3)
+    t0 = time.perf_counter()
+    _, _, ap = ap_lib.eval_det_cls(dets, gts, 0.25)
+    dt = time.perf_counter() - t0
+    assert 0.0 < ap <= 1.0
+    # Loop reference on this input takes ~60s on this host (measured);
+    # the vectorized path should be well under a tenth of that.
+    assert dt < 6.0, f"eval_det_cls too slow at scale: {dt:.1f}s"

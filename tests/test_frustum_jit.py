@@ -119,3 +119,32 @@ def test_point_cloud_variant_matches_host_crop():
     assert hits >= 120  # allow a few rounding misses
     # Extra channel carried through.
     assert sampled.shape == (128, 4)
+
+
+def test_systematic_sampler_marginals_and_phase():
+    """The round-3 systematic rank-select sampler: different RNG keys
+    give different subsets (random phase), and over many draws every
+    in-box pixel is included with similar frequency (uniform marginal
+    inclusion, the property the approx_max_k sampler provided)."""
+    depth = np.zeros((100, 100), np.float32)
+    depth[20:84, 20:84] = 5.0  # 4096 valid pixels
+    box = np.array([[0, 0, 100, 100]], np.float32)
+    seen = {}
+    subsets = []
+    for seed in range(20):
+        out = frustum_jit.lift_depth_frustums(
+            jnp.asarray(depth), jnp.asarray(K), jnp.asarray(box), 256,
+            jax.random.PRNGKey(seed))
+        pts = np.asarray(out.points[0]).round(5)
+        keys = {tuple(p) for p in pts}
+        subsets.append(frozenset(keys))
+        for k in keys:
+            seen[k] = seen.get(k, 0) + 1
+    # Phase randomness: the 20 subsets are not all identical.
+    assert len(set(subsets)) > 1
+    # Coverage: 20 draws x 256 of 4096 pixels = 1.25x expected
+    # inclusion; systematic sampling has LOW variance, so no pixel
+    # should be picked many times while others never appear.
+    counts = np.asarray(list(seen.values()))
+    assert len(seen) >= 2048          # most pixels touched at least once
+    assert counts.max() <= 4          # no pixel hogs the sample

@@ -195,22 +195,26 @@ def _clip_halfplane_np(verts: np.ndarray, count: np.ndarray,
 
 def box3d_iou_pairs_np(corners_a: np.ndarray, corners_b: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
-    """All-pairs (3D IoU, BEV IoU): corners_a [M, 8, 3] x corners_b [N, 8, 3]
-    -> two [M, N] arrays.
+    """All-pairs (3D IoU, BEV IoU): corners_a [..., M, 8, 3] x
+    corners_b [..., N, 8, 3] -> two [..., M, N] arrays, with any shared
+    leading batch dims (round 3: one padded call per class covers every
+    frame, removing the per-frame python loop from eval/ap.py).
 
     Fully numpy-vectorized twin of `box3d_iou_np` (the per-pair scalar
     clip is minutes-slow at real val-set scale — SURVEY.md C12 /
     round-1 verdict item 8). Same tolerant inside test and the same
     centered-frame conditioning, so results agree with the scalar path
-    to float64 round-off.
+    to float64 round-off. Degenerate (zero-area padding) boxes produce
+    IoU 0 against anything.
     """
-    m, n = len(corners_a), len(corners_b)
-    if m == 0 or n == 0:
-        return np.zeros((m, n)), np.zeros((m, n))
     a = np.asarray(corners_a, np.float64)
     b = np.asarray(corners_b, np.float64)
-    pa = a[:, :4][:, :, [0, 2]]  # [M, 4, 2] BEV top faces
-    pb = b[:, :4][:, :, [0, 2]]
+    m, n = a.shape[-3], b.shape[-3]
+    lead = np.broadcast_shapes(a.shape[:-3], b.shape[:-3])
+    if m == 0 or n == 0:
+        return (np.zeros((*lead, m, n)), np.zeros((*lead, m, n)))
+    pa = a[..., :4, :][..., [0, 2]]  # [..., M, 4, 2] BEV top faces
+    pb = b[..., :4, :][..., [0, 2]]
 
     # Normalize clip rings to CCW (winding flips with 180-degree heading).
     def signed_area(v):
@@ -218,20 +222,21 @@ def box3d_iou_pairs_np(corners_a: np.ndarray, corners_b: np.ndarray
         return 0.5 * (np.einsum("...k,...k->...", x, np.roll(z, -1, -1))
                       - np.einsum("...k,...k->...", z, np.roll(x, -1, -1)))
 
-    pb = np.where(signed_area(pb)[:, None, None] < 0, pb[:, ::-1], pb)
+    pb = np.where(signed_area(pb)[..., None, None] < 0, pb[..., ::-1, :],
+                  pb)
 
     # Pairwise grid, centered at the subject's mean (conditioning: the
     # raw camera-frame solves are catastrophically ill-conditioned).
-    offset = pa.mean(axis=1)  # [M, 2]
-    subj = np.broadcast_to(pa[:, None], (m, n, 4, 2)) - offset[:, None,
-                                                               None]
-    clip = np.broadcast_to(pb[None], (m, n, 4, 2)) - offset[:, None, None]
+    offset = pa.mean(axis=-2)  # [..., M, 2]
+    subj = pa[..., :, None, :, :] - offset[..., :, None, None, :]
+    clip = pb[..., None, :, :, :] - offset[..., :, None, None, :]
+    subj, clip = np.broadcast_arrays(subj, clip)  # [..., M, N, 4, 2]
     verts = np.concatenate(
-        [subj, np.zeros((m, n, 4, 2))], axis=2)  # pad to 8 slots
-    count = np.full((m, n), 4, np.int64)
+        [subj, np.zeros_like(subj)], axis=-2)  # pad to 8 slots
+    count = np.full(subj.shape[:-2], 4, np.int64)
     for e in range(4):
         verts, count = _clip_halfplane_np(
-            verts, count, clip[:, :, e], clip[:, :, (e + 1) % 4])
+            verts, count, clip[..., e, :], clip[..., (e + 1) % 4, :])
 
     # Masked shoelace over the first `count` vertices (centered already).
     k = verts.shape[-2]
@@ -243,22 +248,22 @@ def box3d_iou_pairs_np(corners_a: np.ndarray, corners_b: np.ndarray
     valid = idx < count[..., None]
     inter_area = 0.5 * np.abs(np.sum((x * zn - xn * z) * valid, axis=-1))
 
-    area_a = np.abs(signed_area(pa))  # [M]
-    area_b = np.abs(signed_area(pb))  # [N]
-    union_bev = np.maximum(area_a[:, None] + area_b[None] - inter_area,
-                           1e-8)
+    area_a = np.abs(signed_area(pa))  # [..., M]
+    area_b = np.abs(signed_area(pb))  # [..., N]
+    union_bev = np.maximum(
+        area_a[..., :, None] + area_b[..., None, :] - inter_area, 1e-8)
     iou_bev = inter_area / union_bev
 
-    ya_min, ya_max = a[..., 1].min(-1), a[..., 1].max(-1)  # [M]
-    yb_min, yb_max = b[..., 1].min(-1), b[..., 1].max(-1)  # [N]
+    ya_min, ya_max = a[..., 1].min(-1), a[..., 1].max(-1)  # [..., M]
+    yb_min, yb_max = b[..., 1].min(-1), b[..., 1].max(-1)  # [..., N]
     h_overlap = np.maximum(
-        np.minimum(ya_max[:, None], yb_max[None])
-        - np.maximum(ya_min[:, None], yb_min[None]), 0.0)
+        np.minimum(ya_max[..., :, None], yb_max[..., None, :])
+        - np.maximum(ya_min[..., :, None], yb_min[..., None, :]), 0.0)
     inter_vol = inter_area * h_overlap
     vol_a = area_a * (ya_max - ya_min)
     vol_b = area_b * (yb_max - yb_min)
     iou3d = inter_vol / np.maximum(
-        vol_a[:, None] + vol_b[None] - inter_vol, 1e-8)
+        vol_a[..., :, None] + vol_b[..., None, :] - inter_vol, 1e-8)
     return iou3d, iou_bev
 
 

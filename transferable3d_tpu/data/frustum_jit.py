@@ -53,6 +53,84 @@ def depth_to_camera_points(depth: jnp.ndarray, K: jnp.ndarray
     return pts, valid
 
 
+_LANES = 128  # tile width for the two-level rank select
+
+
+def _select_systematic(pts: jnp.ndarray, inside: jnp.ndarray,
+                       npoints: int, u: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Systematic rank-select of `npoints` rows among `inside` rows.
+
+    Replaces the round-2 approx_max_k + 131k-row-gather sampler
+    (VERDICT r02 item 3: the two remaining e2e costs). Slot i takes the
+    in-box point of cumulative rank 1 + floor((i + u) * count /
+    npoints) — a systematic (random-phase u in [0,1)) sample: uniform
+    marginal inclusion, without replacement when count >= npoints,
+    cyclic with-replacement coverage otherwise; identical in
+    expectation to the host provider's resample-with-replacement, and
+    deliberately monotone so selection becomes two one-hot MXU
+    contractions (tile search over T = N/128 tile offsets, then a lane
+    match) instead of a sort/top-k plus a scalar-unit gather
+    (~10 ns/row on TPU, CLAUDE.md lore).
+
+    pts [N, C] f32 with N a multiple of 128; inside [N] bool.
+    Returns (sampled [npoints, C], count). count == 0 yields zeros.
+    """
+    n, c = pts.shape
+    assert n % _LANES == 0, n
+    t = n // _LANES
+    insf = inside.astype(jnp.float32).reshape(t, _LANES)
+    # In-tile cumulative rank at each pixel (inclusive), via a
+    # triangular matmul (operands are 0/1, exact at any precision),
+    # plus exclusive tile offsets for the global rank bookkeeping.
+    tri = jnp.tril(jnp.ones((_LANES, _LANES), jnp.float32))
+    in_tile = jax.lax.dot_general(
+        insf, tri, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [T, LANES]
+    tile_tot = in_tile[:, -1]                        # [T]
+    tile_end = jnp.cumsum(tile_tot)                  # inclusive [T]
+    tile_start = tile_end - tile_tot                 # exclusive [T]
+    count = tile_end[-1]
+    # In-tile rank is only meaningful AT in-box pixels; zero elsewhere
+    # so plateau values never match (wanted lane ranks are >= 1). Key
+    # TPU constraint: everything flowing through the fetch matmul below
+    # must be EXACT under the MXU's default bf16 input rounding —
+    # global ranks (up to N) are not, but in-tile ranks (<= 128) are,
+    # and f32 coordinates split exactly into bf16 hi + lo parts.
+    # (Precision.HIGHEST would also be exact but compiles/runs the
+    # 6-pass lowering; measured unusably slow through the axon relay.)
+    lrank = jnp.where(insf > 0, in_tile, 0.0)        # [T, LANES] <= 128
+
+    slot = jnp.arange(npoints, dtype=jnp.float32)
+    want = 1.0 + jnp.floor((slot + u) * count / npoints)  # [np] monotone
+    want = jnp.minimum(want, jnp.maximum(count, 1.0))
+
+    # Level 1: which tile holds global rank `want` (one-hot over T).
+    t_oh = ((want[:, None] > tile_start[None, :])
+            & (want[:, None] <= tile_end[None, :])).astype(jnp.float32)
+    # The selected tile's exclusive start, via a VPU masked max (not a
+    # matmul: tile_start can exceed bf16's exact-integer range).
+    sel_start = jnp.max(jnp.where(t_oh > 0, tile_start[None, :], -1.0),
+                        axis=1)                      # [np]
+    # Level 2: fetch the selected tile's (lrank, hi, lo) rows with ONE
+    # [np, T] @ [T, LANES*(1+2C)] contraction, then lane-match against
+    # the in-tile rank `want - sel_start`.
+    hi = pts.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = pts - hi
+    vals = jnp.concatenate([hi, lo], -1).reshape(t, _LANES, 2 * c)
+    packed = jnp.concatenate(
+        [lrank[:, :, None], vals], axis=-1).reshape(t, _LANES * (1 + 2 * c))
+    fetched = jax.lax.dot_general(
+        t_oh, packed, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(
+            npoints, _LANES, 1 + 2 * c)
+    l_oh = (fetched[:, :, 0] == (want - sel_start)[:, None]).astype(
+        jnp.float32)
+    picked = jnp.einsum("pl,plc->pc", l_oh, fetched[:, :, 1:])
+    sampled = picked[:, :c] + picked[:, c:]
+    return sampled, count.astype(jnp.int32)
+
+
 def _sample_in_box(pts: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
                    box2d: jnp.ndarray, K: jnp.ndarray, npoints: int,
                    rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray,
@@ -61,30 +139,14 @@ def _sample_in_box(pts: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
     inside = (valid
               & (uv[:, 0] >= box2d[0]) & (uv[:, 0] < box2d[2])
               & (uv[:, 1] >= box2d[1]) & (uv[:, 1] < box2d[3]))
-    count = jnp.sum(inside.astype(jnp.int32))
 
-    # Uniform sampling without replacement among masked pixels: top-k of
-    # RANDOM keys, -inf outside the mask. approx_max_k (TPU
-    # PartialReduce) replaces the full sort: with iid-uniform keys its
-    # approximate top-k is still a uniform random subset, at ~75% of
-    # the sort's cost. Pad slots past the in-box count repeat the first
-    # sample (a select; the previous cyclic wrap was a second 131k-row
-    # gather worth ~1.7 ms/step in the end-to-end pipeline).
     n = pts.shape[0]
-    keys = jax.random.uniform(rng, (n,))
-    score = jnp.where(inside, keys, -jnp.inf)
-    k_eff = min(npoints, n)
-    vals, idx = jax.lax.approx_max_k(score, k_eff)
-    slot = jnp.arange(npoints)
-    # Gate on finiteness, not just `slot < count`: approx_max_k's
-    # PartialReduce bins can miss in-box points (recall 0.95), letting
-    # -inf (out-of-frustum) entries land in slots below `count`.
-    keep = jnp.isfinite(vals) & (slot[:k_eff] < jnp.maximum(count, 1))
-    idx = jnp.where(keep, idx, idx[0])
-    if npoints > n:
-        idx = jnp.concatenate(
-            [idx, jnp.broadcast_to(idx[:1], (npoints - n,))])
-    sampled = jnp.take(pts, idx, axis=0)  # [npoints, C]
+    if n % _LANES:  # pad to a lane multiple (KITTI cloud path)
+        pad = _LANES - n % _LANES
+        pts = jnp.pad(pts, ((0, pad), (0, 0)))
+        inside = jnp.pad(inside, (0, pad))
+    u = jax.random.uniform(rng, ())
+    sampled, count = _select_systematic(pts, inside, npoints, u)
 
     # Frustum angle from the 2D box center ray (unit depth).
     cu = (box2d[0] + box2d[2]) / 2.0

@@ -67,7 +67,86 @@ def eval_det_cls(detections: Sequence[BoxDetection],
                  iou_thresh: float = 0.25,
                  use_07_metric: bool = False,
                  bev: bool = False) -> Tuple[np.ndarray, np.ndarray, float]:
-    """(recall curve, precision curve, AP) for one class."""
+    """(recall curve, precision curve, AP) for one class.
+
+    Fully vectorized (round 3, VERDICT r02 item 6): one flat
+    [nd, 1, Gmax] IoU call (each detection against only ITS frame's GT
+    slots — no padded [frames, Dmax, Gmax] grid, so no Dmax waste) plus
+    a first-occurrence scan replace the per-frame IoU loop and the
+    per-detection greedy loop. The VOC greedy protocol ("match
+    argmax-IoU GT; TP iff IoU >= thresh and that GT is unclaimed")
+    factorizes exactly: a detection is TP iff its best IoU passes the
+    threshold AND it is the first passing detection (in descending
+    score order) whose argmax lands on that (frame, gt) slot — a
+    `np.unique(..., return_index=True)` over keys. Matches the loop
+    reference (kept below as `eval_det_cls_reference`) on all golden
+    fixtures and random A/Bs.
+    """
+    npos = len(groundtruths)
+    dets = sorted(detections, key=lambda d: -d.score)
+    nd = len(dets)
+    if nd == 0:
+        return (np.zeros(0), np.zeros(0),
+                0.0 if npos else voc_ap(np.zeros(0), np.zeros(0),
+                                        use_07_metric))
+
+    gt_by_frame: Dict = defaultdict(list)
+    for g in groundtruths:
+        gt_by_frame[g.frame_id].append(g)
+
+    # Frame table over frames that HAVE ground truth; detections in
+    # GT-less frames are unconditional FPs.
+    frame_ids = sorted(gt_by_frame, key=repr)
+    frame_idx = {fid: i for i, fid in enumerate(frame_ids)}
+    f = len(frame_ids)
+
+    det_frame = np.array([frame_idx.get(d.frame_id, -1) for d in dets])
+    tp = np.zeros(nd)
+    has_gt = det_frame >= 0
+    if f and has_gt.any():
+        gmax = max(len(gs) for gs in gt_by_frame.values())
+        gt_corners = np.zeros((f, gmax, 8, 3), np.float32)
+        gt_count = np.zeros(f, np.int64)
+        for fid, gs in gt_by_frame.items():
+            fi = frame_idx[fid]
+            gt_count[fi] = len(gs)
+            gt_corners[fi, :len(gs)] = [g.corners for g in gs]
+        dets_f = det_frame[has_gt]                       # [nd_gt]
+        all_corners = np.stack([d.corners for d in dets])[has_gt]
+
+        iou3d, ioubev = box_np.box3d_iou_pairs_np(
+            all_corners[:, None], gt_corners[dets_f])    # [nd_gt, 1, Gmax]
+        rows_mat = (ioubev if bev else iou3d)[:, 0]      # [nd_gt, Gmax]
+        # Padded GT slots must never win the argmax.
+        gt_valid = np.arange(gmax)[None] < gt_count[dets_f, None]
+        rows_mat = np.where(gt_valid, rows_mat, -1.0)
+        best_j = np.argmax(rows_mat, axis=1)
+        ok = rows_mat[np.arange(len(best_j)), best_j] >= iou_thresh
+        # First passing detection per (frame, gt) key wins; order is
+        # already descending score (stable sort above).
+        key = det_frame[has_gt] * gmax + best_j
+        ok_pos = np.nonzero(ok)[0]
+        _, first = np.unique(key[ok_pos], return_index=True)
+        tp_gt = np.zeros(len(best_j))
+        tp_gt[ok_pos[first]] = 1.0
+        tp[has_gt] = tp_gt
+
+    fp = 1.0 - tp
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(fp)
+    recall = tp_cum / max(npos, 1)
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+    return recall, precision, voc_ap(recall, precision, use_07_metric)
+
+
+def eval_det_cls_reference(detections: Sequence[BoxDetection],
+                           groundtruths: Sequence[BoxDetection],
+                           iou_thresh: float = 0.25,
+                           use_07_metric: bool = False,
+                           bev: bool = False
+                           ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Loop form of the VOC greedy protocol (kept as the executable
+    spec; `eval_det_cls` must agree with it exactly)."""
     gt_by_frame: Dict = defaultdict(list)
     for g in groundtruths:
         gt_by_frame[g.frame_id].append(g)
@@ -77,9 +156,6 @@ def eval_det_cls(detections: Sequence[BoxDetection],
 
     dets = sorted(detections, key=lambda d: -d.score)
 
-    # Batch all det x GT IoUs per frame (the per-pair scalar clip is
-    # minutes-slow at real val-set scale); the greedy match below then
-    # only reads precomputed rows.
     det_by_frame: Dict = defaultdict(list)
     for i, d in enumerate(dets):
         det_by_frame[d.frame_id].append(i)

@@ -127,6 +127,23 @@ class WeakLossWeights:
     # fixing the collapsing seed, so it defaults OFF; available for
     # tuning on real data.
     size_cls: float = 0.0
+    # BoxPC trust region (round 3). The round-2 8v8 study collapsed on
+    # 2/8 seeds via a runaway feedback loop: once the predicted box
+    # leaves the neighborhood BoxPC was trained on (perturbed GT boxes,
+    # models/boxpc.sample_perturbed_boxes: |dc| ~< size, |log ds| <= 1,
+    # |dh| ~< 1.5), the frozen net's fit logit is unconstrained —
+    # fit-maximization finds adversarial OOD boxes (observed fit_prob
+    # -> 1.0 while weak-val IoU -> 0) and the refine loss chases its
+    # own moving pseudo-label (refine_loss 0.02 -> 8 monotonically).
+    # The OOD signature is BoxPC's own output: a huge predicted delta
+    # alongside a high fit logit is internally inconsistent. Gate the
+    # BoxPC-derived losses (fit, refine) per example to zero whenever
+    # the predicted delta magnitude exits the sampler's support; the
+    # geometric losses (reprojection, size prior) stay ungated.
+    trust_gate: bool = True
+    trust_center: float = 0.7   # |delta_center| / max(size)
+    trust_size: float = 0.7     # max |log-size delta|
+    trust_heading: float = 1.0  # |heading delta| (rad)
 
 
 def differentiable_box(end_points: Dict, cfg: bins_lib.BinConfig
@@ -201,6 +218,29 @@ def calib_reprojection_residual(corners: jnp.ndarray,
     return jnp.mean(jnp.abs(pred - box2d) / norm, axis=-1)
 
 
+def boxpc_trust_gate(out: Dict, box: boxpc_lib.BoxParams,
+                     weights: "WeakLossWeights") -> jnp.ndarray:
+    """Per-example gate [B] on the BoxPC-derived losses (fit, refine).
+
+    1.0 iff BoxPC's own predicted delta stays inside the perturbation
+    sampler's support (see WeakLossWeights.trust_gate for the collapse
+    mechanism this interrupts). The consumer multiplies per-example
+    losses by the gate under an ABSOLUTE mean (over the batch, not over
+    gated examples): an out-of-domain box contributes exactly zero
+    gradient rather than re-weighting its neighbors.
+    """
+    if not weights.trust_gate:
+        return jnp.ones_like(out["fit_logit"])
+    scale = jnp.maximum(jnp.max(box.size, axis=-1), 0.1)
+    dc_mag = jnp.linalg.norm(out["delta_center"], axis=-1) / scale
+    ds_mag = jnp.max(jnp.abs(out["delta_size"]), axis=-1)
+    dh_mag = jnp.abs(out["delta_heading"])
+    return jax.lax.stop_gradient(
+        ((dc_mag <= weights.trust_center)
+         & (ds_mag <= weights.trust_size)
+         & (dh_mag <= weights.trust_heading)).astype(jnp.float32))
+
+
 def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
                 boxpc_variables, cfg: bins_lib.BinConfig,
                 weights: WeakLossWeights = WeakLossWeights()
@@ -210,9 +250,11 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
     frozen = jax.lax.stop_gradient(boxpc_variables)
     out = boxpc_model.apply(frozen, batch["points"], box, train=False)
 
+    gate = boxpc_trust_gate(out, box, weights)
+
     # (a) maximize BoxPC fit probability of the predicted box.
     logit = out["fit_logit"]
-    fit_loss = jnp.mean(jax.nn.softplus(-logit))  # -log sigmoid, stable
+    fit_loss = jnp.mean(gate * jax.nn.softplus(-logit))  # -log sigmoid
 
     # (b) BoxPC-refined box as pseudo-label.
     refined = jax.lax.stop_gradient(boxpc_lib.apply_deltas(box, out))
@@ -220,11 +262,17 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
     def huber(x, d=1.0):
         a = jnp.abs(x)
         q = jnp.minimum(a, d)
-        return jnp.mean(0.5 * q ** 2 + d * (a - q))
+        return 0.5 * q ** 2 + d * (a - q)
 
-    refine_loss = (huber(box.center - refined.center)
-                   + huber(box.heading - refined.heading)
-                   + huber(jnp.log(box.size / refined.size)))
+    def huber_ex(x, d=1.0):
+        """Per-example huber: mean over trailing dims, keep batch."""
+        h = huber(x, d)
+        return h if h.ndim == 1 else jnp.mean(h, axis=-1)
+
+    refine_loss = jnp.mean(gate * (
+        huber_ex(box.center - refined.center)
+        + huber_ex(box.heading - refined.heading)
+        + huber_ex(jnp.log(box.size / refined.size))))
 
     # (c) 2D reprojection consistency: calib-exact corner projection for
     # examples that carry a camera matrix (KITTI; has_calib==1), the
@@ -247,7 +295,7 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
     # (d) per-class mean-size prior (normalized).
     mean_sizes = jnp.asarray(cfg.mean_size_array())
     prior = mean_sizes[batch["class_idx"]]
-    size_prior_loss = huber((box.size - prior) / prior)
+    size_prior_loss = jnp.mean(huber((box.size - prior) / prior))
 
     # (e) size-class CE from the known 2D class label (see
     # WeakLossWeights.size_cls).
@@ -268,6 +316,7 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
         "weak_reproj_loss": reproj_loss,
         "weak_size_prior_loss": size_prior_loss,
         "weak_fit_prob": jnp.mean(jax.nn.sigmoid(logit)),
+        "weak_trust_frac": jnp.mean(gate),
     }
 
 

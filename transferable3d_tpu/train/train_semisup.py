@@ -55,6 +55,8 @@ class SemisupConfig(config_lib.TrainConfig):
     weak_reproj: float = 1.0
     weak_size_prior: float = 0.5
     weak_size_cls: float = 0.0
+    # BoxPC trust-region gating (semisup.WeakLossWeights.trust_gate).
+    weak_trust_gate: bool = True
 
 
 def _filter(records, cfg: bins_lib.BinConfig, classes: Sequence[str]):
@@ -178,7 +180,8 @@ def train(cfg: SemisupConfig) -> dict:
             fit=cfg.weak_fit, refine=cfg.weak_refine,
             reprojection=cfg.weak_reproj,
             size_prior=cfg.weak_size_prior,
-            size_cls=cfg.weak_size_cls),
+            size_cls=cfg.weak_size_cls,
+            trust_gate=cfg.weak_trust_gate),
         weak_warmup_steps=cfg.weak_warmup_steps)
     eval_step = train_loop.make_eval_step(detector, bins_cfg)
 
@@ -249,6 +252,7 @@ def train(cfg: SemisupConfig) -> dict:
             f"epoch {epoch}: step={int(state.detector.step)} "
             f"sup={m['total_loss']:.3f} weak={m['weak_total_loss']:.3f} "
             f"fit_prob={m['weak_fit_prob']:.3f} "
+            f"trust={m.get('weak_trust_frac', 1.0):.2f} "
             f"({seen / max(dt, 1e-9):.1f} frustums/s)")
 
         if epoch % cfg.eval_every_epochs == 0 or stop:
