@@ -148,3 +148,23 @@ def test_systematic_sampler_marginals_and_phase():
     counts = np.asarray(list(seen.values()))
     assert len(seen) >= 2048          # most pixels touched at least once
     assert counts.max() <= 4          # no pixel hogs the sample
+
+
+def test_pallas_fetch_select_matches_xla():
+    """The Pallas two-level fetch (TPU hot path) must agree with the
+    XLA form exactly — same ranks, same hi/lo coordinate split."""
+    rng = np.random.RandomState(3)
+    n, c, b, npoints = 1024, 3, 5, 256
+    pts = jnp.asarray(rng.uniform(-4, 9, (n, c)).astype(np.float32))
+    inside = jnp.asarray(rng.rand(b, n) < 0.2)
+    us = jnp.asarray(rng.rand(b).astype(np.float32))
+    lrank, ts, te, want, count = jax.vmap(
+        lambda i, u: frustum_jit._select_prelude(i, npoints, u))(inside,
+                                                                 us)
+    ref = jax.vmap(
+        lambda l, s, e, w: frustum_jit._fetch_select_xla(
+            pts, l, s, e, w, npoints))(lrank, ts, te, want)
+    out = frustum_jit._fetch_select_pallas(pts, lrank, ts, te, want,
+                                           npoints, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0, rtol=0)

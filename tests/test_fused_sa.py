@@ -82,11 +82,12 @@ def _ref(cent, xyz, args, running=None, folded=False):
     return jnp.max(x, axis=2), means, variances
 
 
-def test_forward_train_matches_unfused():
+@pytest.mark.parametrize("layout", ["rows", "planar"])
+def test_forward_train_matches_unfused(layout):
     cent, xyz, args = _setup(0)
     p_ref, m_ref, v_ref = _ref(cent, xyz, args)
     p, m, v = fused_sa.fused_grouped_chain(cent, xyz, *args, R, K, EPS,
-                                           True, None, True)
+                                           True, None, True, layout)
     pr = np.asarray(p_ref.astype(jnp.float32))
     pg = np.asarray(p.astype(jnp.float32))
     scale = np.abs(pr).max()
@@ -98,14 +99,15 @@ def test_forward_train_matches_unfused():
                                    atol=5e-3)
 
 
-def test_eval_mode_bit_exact_and_grads():
+@pytest.mark.parametrize("layout", ["rows", "planar"])
+def test_eval_mode_bit_exact_and_grads(layout):
     cent, xyz, args = _setup(1)
     _, m, v = fused_sa.fused_grouped_chain(cent, xyz, *args, R, K, EPS,
-                                           True, None, True)
+                                           True, None, True, layout)
     running = tuple((m[i], v[i]) for i in range(L))
     p_ref, _, _ = _ref(cent, xyz, args, running=running)
     p, _, _ = fused_sa.fused_grouped_chain(cent, xyz, *args, R, K, EPS,
-                                           False, running, True)
+                                           False, running, True, layout)
     np.testing.assert_array_equal(
         np.asarray(p_ref.astype(jnp.float32)),
         np.asarray(p.astype(jnp.float32)))
@@ -116,7 +118,7 @@ def test_eval_mode_bit_exact_and_grads():
         _ref(cent, xyz, a, running=running)[0].astype(jnp.float32)
         * w_r))(args)
     gn = jax.grad(lambda a: jnp.sum(fused_sa.fused_grouped_chain(
-        cent, xyz, *a, R, K, EPS, False, running, True)[0].astype(
+        cent, xyz, *a, R, K, EPS, False, running, True, layout)[0].astype(
             jnp.float32) * w_r))(args)
     for a, b in zip(jax.tree_util.tree_leaves(gr),
                     jax.tree_util.tree_leaves(gn)):
@@ -125,14 +127,15 @@ def test_eval_mode_bit_exact_and_grads():
         assert np.linalg.norm(a - b) / max(1e-6, np.linalg.norm(a)) < 0.02
 
 
-def test_train_grads_match_with_exact_stats():
+@pytest.mark.parametrize("layout", ["rows", "planar"])
+def test_train_grads_match_with_exact_stats(layout):
     """Integer data -> exact batch statistics -> the train-mode BN
     backward (statistic correction terms) is testable tightly."""
     cent, xyz, args = _setup(3, integer_data=True)
     gr = jax.grad(lambda a: jnp.sum(
         _ref(cent, xyz, a, folded=True)[0].astype(jnp.float32)))(args)
     gn = jax.grad(lambda a: jnp.sum(fused_sa.fused_grouped_chain(
-        cent, xyz, *a, R, K, EPS, True, None, True)[0].astype(
+        cent, xyz, *a, R, K, EPS, True, None, True, layout)[0].astype(
             jnp.float32)))(args)
     names = ["pf", "qc", "gammas", "betas", "ws", "bs"]
     for nm, a, b in zip(names, gr, gn):
@@ -147,12 +150,13 @@ def test_train_grads_match_with_exact_stats():
             assert rel < tol, (nm, rel)
 
 
-def test_geometry_grads_are_zero():
+@pytest.mark.parametrize("layout", ["rows", "planar"])
+def test_geometry_grads_are_zero(layout):
     cent, xyz, args = _setup(4)
 
     def loss(c, x):
         p, _, _ = fused_sa.fused_grouped_chain(c, x, *args, R, K, EPS,
-                                               True, None, True)
+                                               True, None, True, layout)
         return jnp.sum(p.astype(jnp.float32))
 
     dc, dx = jax.grad(loss, argnums=(0, 1))(cent, xyz)

@@ -147,3 +147,28 @@ def test_in_hull():
                 & (np.abs(inv[:, 1]) <= 0.5 + 1e-6)
                 & (np.abs(inv[:, 2]) <= 0.5 + 1e-6))
     np.testing.assert_array_equal(mask, expected)
+
+
+def test_exact_hi_lo_split():
+    """core/numerics.exact_hi_lo: bf16-valued parts, exact bf16 casts,
+    ~16-bit-mantissa reconstruction. Uses lax.reduce_precision because
+    TPU XLA's excess-precision pass ELIDES the naive astype round-trip
+    (verified on v5e: naive lo == 0 on device)."""
+    import jax.numpy as jnp
+
+    from transferable3d_tpu.core import numerics
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-40, 40, (512, 3)).astype(np.float32))
+    hi, lo = numerics.exact_hi_lo(x)
+    # Parts are exactly bf16-representable.
+    np.testing.assert_array_equal(
+        np.asarray(hi), np.asarray(hi.astype(jnp.bfloat16).astype(
+            jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(lo), np.asarray(lo.astype(jnp.bfloat16).astype(
+            jnp.float32)))
+    # lo is a genuine correction, and hi + lo ~= x to ~2^-16 relative.
+    assert float(jnp.abs(lo).max()) > 1e-3
+    err = np.abs(np.asarray(hi + lo) - np.asarray(x))
+    assert err.max() < 40 * 2.0 ** -15

@@ -26,8 +26,12 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from transferable3d_tpu.core import geometry
+from transferable3d_tpu.core import numerics
+from transferable3d_tpu.models.layers import on_tpu
 
 
 class FrustumBatch(NamedTuple):
@@ -56,6 +60,136 @@ def depth_to_camera_points(depth: jnp.ndarray, K: jnp.ndarray
 _LANES = 128  # tile width for the two-level rank select
 
 
+def _select_prelude(inside: jnp.ndarray, npoints: int, u: jnp.ndarray):
+    """Shared rank bookkeeping for the systematic select (one frustum).
+
+    inside [N] bool with N a multiple of 128. Returns (lrank [T, LANES]
+    in-tile 1-based ranks, 0 outside; tile_start/tile_end [T] exclusive/
+    inclusive global offsets; want [npoints] target global ranks; count).
+    """
+    n = inside.shape[0]
+    assert n % _LANES == 0, n
+    t = n // _LANES
+    insf = inside.astype(jnp.float32).reshape(t, _LANES)
+    # In-tile cumulative rank at each pixel (inclusive), via a
+    # triangular matmul (operands are 0/1, exact at any precision),
+    # plus exclusive tile offsets for the global rank bookkeeping.
+    tri = jnp.tril(jnp.ones((_LANES, _LANES), jnp.float32))
+    in_tile = jax.lax.dot_general(
+        insf, tri, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [T, LANES]
+    tile_tot = in_tile[:, -1]                        # [T]
+    tile_end = jnp.cumsum(tile_tot)                  # inclusive [T]
+    tile_start = tile_end - tile_tot                 # exclusive [T]
+    count = tile_end[-1]
+    # In-tile rank is only meaningful AT in-box pixels; zero elsewhere
+    # so plateau values never match (wanted lane ranks are >= 1). Key
+    # TPU constraint: everything flowing through the fetch matmuls must
+    # be EXACT under the MXU's default bf16 input rounding — global
+    # ranks (up to N) are not, but in-tile ranks (<= 128) are, and f32
+    # coordinates split exactly into bf16 hi + lo parts.
+    # (Precision.HIGHEST would also be exact but compiles/runs the
+    # 6-pass lowering; measured unusably slow through the axon relay.)
+    lrank = jnp.where(insf > 0, in_tile, 0.0)        # [T, LANES] <= 128
+
+    slot = jnp.arange(npoints, dtype=jnp.float32)
+    want = 1.0 + jnp.floor((slot + u) * count / npoints)  # [np] monotone
+    want = jnp.minimum(want, jnp.maximum(count, 1.0))
+    return lrank, tile_start, tile_end, want, count
+
+
+def _fetch_select_xla(pts, lrank, tile_start, tile_end, want, npoints):
+    """Two-level fetch + lane match, XLA form (one frustum; CPU path and
+    fallback for npoints not a lane multiple)."""
+    t, c = lrank.shape[0], pts.shape[-1]
+    # Level 1: which tile holds global rank `want` (one-hot over T).
+    t_oh = ((want[:, None] > tile_start[None, :])
+            & (want[:, None] <= tile_end[None, :])).astype(jnp.float32)
+    # The selected tile's exclusive start, via a VPU masked max (not a
+    # matmul: tile_start can exceed bf16's exact-integer range).
+    sel_start = jnp.max(jnp.where(t_oh > 0, tile_start[None, :], -1.0),
+                        axis=1)                      # [np]
+    # Level 2: fetch the selected tile's (lrank, hi, lo) rows with ONE
+    # [np, T] @ [T, LANES*(1+2C)] contraction, then lane-match against
+    # the in-tile rank `want - sel_start`.
+    # reduce_precision-based split (core/numerics): the naive astype
+    # round-trip is elided by TPU XLA's excess-precision pass, which
+    # silently zeroes lo. Explicit bf16 rounding of BOTH parts also
+    # makes the CPU/XLA fallback bit-identical to the Pallas path.
+    hi, lo = numerics.exact_hi_lo(pts)
+    vals = jnp.concatenate([hi, lo], -1).reshape(t, _LANES, 2 * c)
+    packed = jnp.concatenate(
+        [lrank[:, :, None], vals], axis=-1).reshape(t, _LANES * (1 + 2 * c))
+    fetched = jax.lax.dot_general(
+        t_oh, packed, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(
+            npoints, _LANES, 1 + 2 * c)
+    l_oh = (fetched[:, :, 0] == (want - sel_start)[:, None]).astype(
+        jnp.float32)
+    picked = jnp.einsum("pl,plc->pc", l_oh, fetched[:, :, 1:])
+    return picked[:, :c] + picked[:, c:]
+
+
+def _fetch_select_kernel(c, want_ref, bounds_ref, lrank_ref, planes_ref,
+                         out_ref):
+    """One 128-slot block of the two-level fetch, entirely in VMEM.
+
+    The XLA form materializes `fetched` [np, LANES, 1+2C] f32 in HBM
+    (~470 MB/step at e2e bench shapes — profiled at 2.8 of the 2.9 ms
+    extraction cost, mostly a layout copy). Here the per-block fetch
+    ([128, LANES]) lives and dies in VMEM; HBM sees only the inputs
+    once per frustum and the [128, C] output block.
+    """
+    want = want_ref[0]                     # [128, 1] f32
+    start = bounds_ref[0, 0:1, :]          # [1, T] f32
+    end = bounds_ref[0, 1:2, :]            # [1, T]
+    t_oh = jnp.where((want > start) & (want <= end), 1.0, 0.0)  # [128, T]
+    sel_start = jnp.max(jnp.where(t_oh > 0, start, -1.0), axis=1,
+                        keepdims=True)     # [128, 1]
+    t_oh = t_oh.astype(jnp.bfloat16)
+    fr = jnp.dot(t_oh, lrank_ref[0], preferred_element_type=jnp.float32)
+    l_oh = jnp.where(fr == (want - sel_start), 1.0, 0.0)  # [128, LANES]
+    for ci in range(c):
+        hi = jnp.dot(t_oh, planes_ref[ci],
+                     preferred_element_type=jnp.float32)
+        lo = jnp.dot(t_oh, planes_ref[c + ci],
+                     preferred_element_type=jnp.float32)
+        out_ref[0, :, ci] = jnp.sum(l_oh * (hi + lo), axis=1)
+
+
+def _fetch_select_pallas(pts, lrank, tile_start, tile_end, want,
+                         npoints, interpret=False):
+    """Batched Pallas two-level fetch: pts [N, C] (shared across the
+    frustum batch), lrank [B, T, LANES], bounds [B, T], want [B, np]."""
+    b, t = lrank.shape[:2]
+    c = pts.shape[-1]
+    hi, lo = numerics.exact_hi_lo(pts)  # naive split elided on TPU
+    hi = hi.astype(jnp.bfloat16)
+    lo = lo.astype(jnp.bfloat16)
+    planes = jnp.concatenate(
+        [jnp.swapaxes(hi, 0, 1).reshape(c, t, _LANES),
+         jnp.swapaxes(lo, 0, 1).reshape(c, t, _LANES)])  # [2C, T, LANES]
+    bounds = jnp.stack([tile_start, tile_end], axis=1)   # [B, 2, T]
+    return pl.pallas_call(
+        partial(_fetch_select_kernel, c),
+        grid=(b, npoints // _LANES),
+        in_specs=[
+            pl.BlockSpec((1, _LANES, 1), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, t), lambda b_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, _LANES), lambda b_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, t, _LANES), lambda b_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _LANES, c), lambda b_, i: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, npoints, c), jnp.float32),
+        interpret=interpret,
+    )(want[:, :, None], bounds, lrank.astype(jnp.bfloat16), planes)
+
+
 def _select_systematic(pts: jnp.ndarray, inside: jnp.ndarray,
                        npoints: int, u: jnp.ndarray
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -76,87 +210,54 @@ def _select_systematic(pts: jnp.ndarray, inside: jnp.ndarray,
     pts [N, C] f32 with N a multiple of 128; inside [N] bool.
     Returns (sampled [npoints, C], count). count == 0 yields zeros.
     """
-    n, c = pts.shape
-    assert n % _LANES == 0, n
-    t = n // _LANES
-    insf = inside.astype(jnp.float32).reshape(t, _LANES)
-    # In-tile cumulative rank at each pixel (inclusive), via a
-    # triangular matmul (operands are 0/1, exact at any precision),
-    # plus exclusive tile offsets for the global rank bookkeeping.
-    tri = jnp.tril(jnp.ones((_LANES, _LANES), jnp.float32))
-    in_tile = jax.lax.dot_general(
-        insf, tri, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [T, LANES]
-    tile_tot = in_tile[:, -1]                        # [T]
-    tile_end = jnp.cumsum(tile_tot)                  # inclusive [T]
-    tile_start = tile_end - tile_tot                 # exclusive [T]
-    count = tile_end[-1]
-    # In-tile rank is only meaningful AT in-box pixels; zero elsewhere
-    # so plateau values never match (wanted lane ranks are >= 1). Key
-    # TPU constraint: everything flowing through the fetch matmul below
-    # must be EXACT under the MXU's default bf16 input rounding —
-    # global ranks (up to N) are not, but in-tile ranks (<= 128) are,
-    # and f32 coordinates split exactly into bf16 hi + lo parts.
-    # (Precision.HIGHEST would also be exact but compiles/runs the
-    # 6-pass lowering; measured unusably slow through the axon relay.)
-    lrank = jnp.where(insf > 0, in_tile, 0.0)        # [T, LANES] <= 128
-
-    slot = jnp.arange(npoints, dtype=jnp.float32)
-    want = 1.0 + jnp.floor((slot + u) * count / npoints)  # [np] monotone
-    want = jnp.minimum(want, jnp.maximum(count, 1.0))
-
-    # Level 1: which tile holds global rank `want` (one-hot over T).
-    t_oh = ((want[:, None] > tile_start[None, :])
-            & (want[:, None] <= tile_end[None, :])).astype(jnp.float32)
-    # The selected tile's exclusive start, via a VPU masked max (not a
-    # matmul: tile_start can exceed bf16's exact-integer range).
-    sel_start = jnp.max(jnp.where(t_oh > 0, tile_start[None, :], -1.0),
-                        axis=1)                      # [np]
-    # Level 2: fetch the selected tile's (lrank, hi, lo) rows with ONE
-    # [np, T] @ [T, LANES*(1+2C)] contraction, then lane-match against
-    # the in-tile rank `want - sel_start`.
-    hi = pts.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = pts - hi
-    vals = jnp.concatenate([hi, lo], -1).reshape(t, _LANES, 2 * c)
-    packed = jnp.concatenate(
-        [lrank[:, :, None], vals], axis=-1).reshape(t, _LANES * (1 + 2 * c))
-    fetched = jax.lax.dot_general(
-        t_oh, packed, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(
-            npoints, _LANES, 1 + 2 * c)
-    l_oh = (fetched[:, :, 0] == (want - sel_start)[:, None]).astype(
-        jnp.float32)
-    picked = jnp.einsum("pl,plc->pc", l_oh, fetched[:, :, 1:])
-    sampled = picked[:, :c] + picked[:, c:]
+    lrank, tile_start, tile_end, want, count = _select_prelude(
+        inside, npoints, u)
+    sampled = _fetch_select_xla(pts, lrank, tile_start, tile_end, want,
+                                npoints)
     return sampled, count.astype(jnp.int32)
 
 
-def _sample_in_box(pts: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
-                   box2d: jnp.ndarray, K: jnp.ndarray, npoints: int,
-                   rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                            jnp.ndarray]:
-    """One frustum: mask pixels in box2d, sample npoints, rotate."""
-    inside = (valid
-              & (uv[:, 0] >= box2d[0]) & (uv[:, 0] < box2d[2])
-              & (uv[:, 1] >= box2d[1]) & (uv[:, 1] < box2d[3]))
-
+def _sample_batch(pts: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
+                  boxes2d: jnp.ndarray, K: jnp.ndarray, npoints: int,
+                  rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                           jnp.ndarray]:
+    """All frustums of one frame: mask pixels per box2d, systematic
+    sample of npoints, rotate to the frustum frame. The point grid is
+    shared across the frame's boxes (prelude vmapped per box; the hot
+    fetch runs as one Pallas call on TPU)."""
     n = pts.shape[0]
     if n % _LANES:  # pad to a lane multiple (KITTI cloud path)
         pad = _LANES - n % _LANES
         pts = jnp.pad(pts, ((0, pad), (0, 0)))
-        inside = jnp.pad(inside, (0, pad))
-    u = jax.random.uniform(rng, ())
-    sampled, count = _select_systematic(pts, inside, npoints, u)
+        uv = jnp.pad(uv, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+
+    def mask_one(box2d):
+        return (valid
+                & (uv[:, 0] >= box2d[0]) & (uv[:, 0] < box2d[2])
+                & (uv[:, 1] >= box2d[1]) & (uv[:, 1] < box2d[3]))
+
+    inside = jax.vmap(mask_one)(boxes2d)                     # [B, N]
+    us = jax.vmap(lambda r: jax.random.uniform(r, ()))(
+        jax.random.split(rng, boxes2d.shape[0]))
+    lrank, ts, te, want, count = jax.vmap(
+        lambda ins, u: _select_prelude(ins, npoints, u))(inside, us)
+    if npoints % _LANES == 0 and on_tpu():
+        sampled = _fetch_select_pallas(pts, lrank, ts, te, want, npoints)
+    else:
+        sampled = jax.vmap(
+            lambda l, s, e, w: _fetch_select_xla(pts, l, s, e, w,
+                                                 npoints))(lrank, ts, te,
+                                                           want)
 
     # Frustum angle from the 2D box center ray (unit depth).
-    cu = (box2d[0] + box2d[2]) / 2.0
-    cv = (box2d[1] + box2d[3]) / 2.0
+    cu = (boxes2d[:, 0] + boxes2d[:, 2]) / 2.0
     rx = (cu - K[0, 2]) / K[0, 0]
-    angle = -jnp.arctan2(rx, 1.0)
+    angle = -jnp.arctan2(rx, jnp.ones_like(rx))
 
-    xyz = geometry.rotate_points_y(sampled[None, :, :3], angle[None])[0]
-    sampled = jnp.concatenate([xyz, sampled[:, 3:]], axis=-1)
-    return sampled, angle, count
+    xyz = geometry.rotate_points_y(sampled[..., :3], angle)
+    sampled = jnp.concatenate([xyz, sampled[..., 3:]], axis=-1)
+    return sampled, angle, count.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -170,11 +271,8 @@ def lift_depth_frustums(depth: jnp.ndarray, K: jnp.ndarray,
     v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
     uv = jnp.stack([u, v], axis=-1)
 
-    b = boxes2d.shape[0]
-    rngs = jax.random.split(rng, b)
-    points, angles, counts = jax.vmap(
-        lambda box, r: _sample_in_box(pts, uv, valid, box, K, npoints, r)
-    )(boxes2d, rngs)
+    points, angles, counts = _sample_batch(pts, uv, valid, boxes2d, K,
+                                           npoints, rng)
     return FrustumBatch(points=points, frustum_angle=angles, count=counts)
 
 
@@ -191,10 +289,7 @@ def crop_point_frustums(points: jnp.ndarray, K: jnp.ndarray,
     uv = jnp.stack([u, v], axis=-1)
     valid = xyz[:, 2] > 1e-6
 
-    b = boxes2d.shape[0]
-    rngs = jax.random.split(rng, b)
-    out_points, angles, counts = jax.vmap(
-        lambda box, r: _sample_in_box(points, uv, valid, box, K, npoints,
-                                      r))(boxes2d, rngs)
+    out_points, angles, counts = _sample_batch(points, uv, valid,
+                                               boxes2d, K, npoints, rng)
     return FrustumBatch(points=out_points, frustum_angle=angles,
                         count=counts)

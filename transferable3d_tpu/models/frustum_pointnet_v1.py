@@ -37,6 +37,7 @@ class InstanceSegNetV1(nn.Module):
     """Per-point foreground/background logits. [B,N,C],[B,K] -> [B,N,2]."""
 
     dtype: Any = jnp.float32
+    dropout_rate: float = 0.5  # reference keep_prob 0.5; 0 disables (parity tests)
 
     @nn.compact
     def __call__(self, points, one_hot, *, train: bool, bn_momentum):
@@ -71,7 +72,8 @@ class InstanceSegNetV1(nn.Module):
         x = PointMLP([256, 128, 128], dtype=self.dtype,
                      name="mlp3")(
             x, train=train, bn_momentum=bn_momentum)
-        x = nn.Dropout(0.5, deterministic=not train, name="dp")(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train,
+                       name="dp")(x)
         logits = nn.Dense(2, dtype=jnp.float32, param_dtype=jnp.float32,
                           name="seg_out")(x)
         return logits
@@ -126,11 +128,13 @@ class FrustumPointNetV1(nn.Module):
     cfg: bins_lib.BinConfig
     dtype: Any = jnp.float32
     num_object_point: int = model_util.NUM_OBJECT_POINT
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(self, points, one_hot, *, train: bool,
                  bn_momentum=0.9) -> Dict[str, jnp.ndarray]:
         seg_logits = InstanceSegNetV1(dtype=self.dtype,
+                                      dropout_rate=self.dropout_rate,
                                       name="seg_net")(
             points, one_hot, train=train, bn_momentum=bn_momentum)
 

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from transferable3d_tpu.core import bins as bins_lib
+from transferable3d_tpu.core import numerics
 from transferable3d_tpu.core import geometry
 
 NUM_OBJECT_POINT = bins_lib.NUM_OBJECT_POINT
@@ -87,10 +88,12 @@ def point_cloud_masking(points: jnp.ndarray, seg_logits: jnp.ndarray,
     # Exact selection via two bf16 matmuls: xyz = hi + lo with hi the
     # bf16 rounding (coordinates at z~30 would lose ~0.12 m in plain
     # bf16); each output row has exactly one nonzero term, so sel@hi +
-    # sel@lo reconstructs xyz to fp32 accuracy.
-    hi = xyz.astype(jnp.bfloat16)
-    lo = (xyz.astype(jnp.float32) - hi.astype(jnp.float32)).astype(
-        jnp.bfloat16)
+    # sel@lo reconstructs xyz to fp32 accuracy. reduce_precision-based
+    # split: the naive astype round-trip is ELIDED by TPU XLA's
+    # excess-precision pass, silently zeroing lo (core/numerics).
+    hi, lo = numerics.exact_hi_lo(xyz.astype(jnp.float32))
+    hi = hi.astype(jnp.bfloat16)
+    lo = lo.astype(jnp.bfloat16)
     obj = (jnp.einsum("bkn,bnc->bkc", sel_b, hi,
                       preferred_element_type=jnp.float32)
            + jnp.einsum("bkn,bnc->bkc", sel_b, lo,
@@ -150,18 +153,34 @@ def get_box3d_corners_grid(center: jnp.ndarray, end_points: Dict,
     return geometry.box_corners(centers_g, sizes_g, headings_g)
 
 
-def decode_box(end_points: Dict, cfg: bins_lib.BinConfig):
+def decode_box(end_points: Dict, cfg: bins_lib.BinConfig,
+               class_idx=None):
     """argmax-decode (center, size, heading) from the network outputs.
 
     Mirrors the reference's test-time decode (C10): argmax over
     heading/size scores, add the corresponding residual, bins -> angle.
+
+    `class_idx` (optional [B] int): condition the size CLUSTER on the
+    known semantic class instead of the score argmax. The size cluster
+    IS the semantic class in this lineage (bins.size_to_class — one
+    mean size per class), and the class is an *input* (from the 2D
+    detector) at both train and test time, so a perfectly-trained
+    size-score head reproduces exactly this choice. Decoding from the
+    scores instead leaves a failure mode where classes never seen with
+    3D labels (the semisup weak split) lock onto a wrong cluster: the
+    round-2 transfer-study collapse (2/8 seeds, weak size-class
+    accuracy 0.0 at eval while strong metrics stayed healthy) was
+    precisely this.
     """
     center = end_points["center"]
     hcls = jnp.argmax(end_points["heading_scores"], axis=-1)  # [B]
     hres = jnp.take_along_axis(end_points["heading_residuals"],
                                hcls[:, None], axis=1)[:, 0]
     heading = bins_lib.class_to_angle(hcls, hres, cfg.num_heading_bin)
-    scls = jnp.argmax(end_points["size_scores"], axis=-1)  # [B]
+    if class_idx is not None:
+        scls = class_idx.astype(jnp.int32)
+    else:
+        scls = jnp.argmax(end_points["size_scores"], axis=-1)  # [B]
     sres = jnp.take_along_axis(end_points["size_residuals"],
                                scls[:, None, None], axis=1)[:, 0]
     size = bins_lib.class_to_size(scls, sres, cfg)

@@ -183,10 +183,19 @@ class GroupedPointMLP(nn.Module):
 
         running = tuple((m.value, v.value)
                         for m, v in zip(ra_means, ra_vars))
+        # Per-scale z layout (round 3): planar ([B, F, S*K] dense
+        # transposed storage) when the row count is large enough that
+        # the 128-lane HBM padding of the row-major layout dominates;
+        # row-major otherwise (the planar segment/replication ops
+        # regress at small S*K — measured round 2).
+        rows = new_xyz.shape[1] * self.nsample
+        planar_min = int(os.environ.get("T3D_PLANAR_MIN_ROWS", "4096"))
+        layout = ("planar" if rows % 128 == 0 and rows >= planar_min
+                  else "rows")
         pooled, means, variances = fused_sa.fused_grouped_chain(
             new_xyz, xyz, pf, qc, tuple(gammas), tuple(betas),
             tuple(ws), tuple(bs), self.radius, self.nsample, 1e-3,
-            train, running, fused_sa.INTERPRET)
+            train, running, fused_sa.INTERPRET, layout)
         if train and not self.is_initializing():
             m = jnp.asarray(bn_momentum, jnp.float32)
             for i in range(len(fs)):

@@ -506,6 +506,399 @@ def _call_bwd_dz1(cent, xyz, z1, dy0, s, k, f0, pack0, radius, nsample,
 
 
 # ---------------------------------------------------------------------------
+# Planar-layout kernel family (round 3).
+#
+# z tensors stored TRANSPOSED: [B, F, S*K] with the row axis on lanes.
+# Why: the natural [B, S, K, F] layout pads F < 128 to 128 HBM lanes
+# (2-4x the bytes at F = 64/32), and every pass streams these tensors —
+# at the seg-SA1 scales (S*K = 4k-16k rows, F0 <= 64) the padding is
+# the single biggest cost. Planar storage is fully dense (S*K is a
+# lane multiple) and the chain dots contract with full 4096-wide lane
+# tiles. The costs of the layout (measured in round 2): per-group
+# reductions become lane-segment ops (log2 K rolls for the max), and
+# every [S]->[S*K] broadcast becomes a replication DOT — cheap at
+# seg-SA1 shapes, a regression at sa2/box shapes (S*K <= 2048), hence
+# the per-scale `layout` choice on fused_grouped_chain.
+# ---------------------------------------------------------------------------
+
+
+def _rep_matrix(s_ch, k, dtype=jnp.bfloat16):
+    """R [S_ch, S_ch*K]: R[s, l] = 1 iff l // K == s (group broadcast /
+    segment-sum operator; K is a power of two so // lowers to a shift)."""
+    lane_group = jax.lax.broadcasted_iota(
+        jnp.int32, (s_ch, s_ch * k), 1) // k
+    row = jax.lax.broadcasted_iota(jnp.int32, (s_ch, s_ch * k), 0)
+    return jnp.where(lane_group == row, 1.0, 0.0).astype(dtype)
+
+
+def _rep_cols_arr(arr, k):
+    """[S_ch, F] -> f32 [F, S_ch*K] with each centroid's row broadcast
+    across its K lanes, via a replication dot (lane-repeat only
+    legalizes for factor 128). Exact for bf16-representable values."""
+    return jax.lax.dot_general(
+        _bf16(arr), _rep_matrix(arr.shape[0], k),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [F, S_ch*K]
+
+
+def _rep_cols(ref, s_ch, k):
+    """Row-major [1, S_ch, F] block ref form of _rep_cols_arr."""
+    return _rep_cols_arr(ref[0], k)
+
+
+def _chain_all_p(z1_cols, packs, ws, bs):
+    """Planar twin of _chain_all: z/h as [F, rows] columns.
+
+    packs are [F, 6] (planar orientation); ws[i] [F_i, F_{i+1}] raw;
+    bs[i] [F_{i+1}, 1]."""
+    zs, hs = [z1_cols], []
+    for i in range(len(packs)):
+        a, c = packs[i][:, 0:1], packs[i][:, 1:2]
+        y = _bf16(_f32(zs[i]) * a + c)
+        hs.append(jnp.maximum(y, jnp.bfloat16(0)))
+        if i < len(ws):
+            z_next = jax.lax.dot_general(
+                _bf16(ws[i][:]), hs[i],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + bs[i][:]
+            zs.append(_bf16(z_next))
+    return zs, hs
+
+
+def _down_to_p(j, zs, hs, packs, ws, dh_top, train):
+    """Planar twin of _down_to (backward cascade)."""
+    depth = len(packs)
+    dh = dh_top
+    dz_next = None
+    for i in range(depth - 1, j - 1, -1):
+        dy = jnp.where(_f32(hs[i]) > 0, dh, jnp.bfloat16(0))
+        if i == j:
+            return dy, dz_next
+        a, mu, r = (packs[i][:, 0:1], packs[i][:, 2:3], packs[i][:, 3:4])
+        if train:
+            mdy, mdyx = packs[i][:, 4:5], packs[i][:, 5:6]
+            xhat = (_f32(zs[i]) - mu) * r
+            dz = _bf16((_f32(dy) - mdy - xhat * mdyx) * a)
+        else:
+            dz = _bf16(_f32(dy) * a)
+        dz_next = dz
+        dh = _bf16(jax.lax.dot_general(
+            _bf16(ws[i - 1][:]), dz,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    raise AssertionError("unreachable")
+
+
+def _seg_max_lanes(x_cols, k):
+    """Segment max over lane groups of K (power of two): after log2 K
+    roll+max steps, lane s*K of each group holds the group max (upper
+    lanes are contaminated by the wrap — only lane s*K is read)."""
+    rows = x_cols.shape[1]
+    shift = k // 2
+    while shift >= 1:
+        # pltpu.roll takes non-negative shifts; rows - s == -s (mod rows).
+        x_cols = jnp.maximum(x_cols, pltpu.roll(x_cols, rows - shift, 1))
+        shift //= 2
+    return x_cols
+
+
+def _sel_matrix(s_ch, k, dtype=jnp.bfloat16):
+    """[S_ch, S_ch*K] one-hot selecting lane s*K of each group."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s_ch, s_ch * k), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (s_ch, s_ch * k), 0)
+    return jnp.where(lane == row * k, 1.0, 0.0).astype(dtype)
+
+
+def _extract_kernel_p(r2, k, f0, ct, pt, tri, payt, qc, z1, sums, sumsq):
+    s_ch = ct.shape[1]
+    _zero_at_first(sums, sumsq)
+    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
+    g = jax.lax.dot_general(
+        payt[0], oh, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [F0, rows]
+    qc_rep = _rep_cols(qc, s_ch, k)                    # [F0, rows] f32
+    z = _bf16(g) - _bf16(qc_rep)
+    z1[0] = z
+    zf = _f32(z)
+    sums[:] += jnp.sum(zf, axis=1, keepdims=True)
+    sumsq[:] += jnp.sum(zf * zf, axis=1, keepdims=True)
+
+
+def _stats_kernel_p(depth, k, f0, z1, *refs):
+    packs, ws, bs, outs = _split(refs, depth, depth, depth, 2)
+    _zero_at_first(*outs)
+    zs, _ = _chain_all_p(z1[0], packs, ws, bs)
+    zf = _f32(zs[depth])
+    outs[0][:] += jnp.sum(zf, axis=1, keepdims=True)
+    outs[1][:] += jnp.sum(zf * zf, axis=1, keepdims=True)
+
+
+def _fwd_out_kernel_p(depth, k, f0, z1, *refs):
+    packs, ws, bs, (pooled,) = _split(refs, depth, depth - 1, depth - 1,
+                                      1)
+    s_ch = pooled.shape[1]
+    _, hs = _chain_all_p(z1[0], packs, ws, bs)
+    hmax = _seg_max_lanes(_f32(hs[-1]), k)
+    pooled[0] = jax.lax.dot_general(
+        _sel_matrix(s_ch, k), hmax,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(pooled.dtype)
+
+
+def _bwd_r_kernel_p(depth, j, train, k, f0, z1, *refs):
+    """Planar twin of _bwd_r_kernel. Accumulator orientation is [F, 1]
+    (lane reductions); the wrapper flattens."""
+    first = j == depth - 1
+    n_in = 2 if first else 3
+    n_acc = 2 if first else 4
+    n_tile = (1 if first else 0) + (1 if j == 0 and not first else 0)
+    packs, ws, bs, ins, accs, tiles = _split(
+        refs, depth, depth - 1, depth - 1, n_in, n_acc, n_tile)
+    _zero_at_first(*accs)
+    s_ch = ins[0].shape[1]
+    zs, hs = _chain_all_p(z1[0], packs, ws, bs)
+    if first:
+        pooled, dpooled = ins
+        pooled_rep = _rep_cols(pooled, s_ch, k)        # [F, rows] f32
+        eq = jnp.where(_f32(hs[-1]) == pooled_rep, 1.0, 0.0)
+        # ties [S_ch, F] via the segment-sum dot (counts <= K exact).
+        ties_tile = jax.lax.dot_general(
+            _rep_matrix(s_ch, k), eq.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        tiles[0][0] = ties_tile
+        dh_top = _bf16(_rep_cols(dpooled, s_ch, k) * eq
+                       / jnp.maximum(_rep_cols_arr(ties_tile, k), 1.0))
+    else:
+        pooled, dpooled, ties = ins
+        pooled_rep = _rep_cols(pooled, s_ch, k)
+        eq = jnp.where(_f32(hs[-1]) == pooled_rep, 1.0, 0.0)
+        dh_top = _bf16(_rep_cols(dpooled, s_ch, k) * eq
+                       / jnp.maximum(_rep_cols(ties, s_ch, k), 1.0))
+    dy_j, dz_next = _down_to_p(j, zs, hs, packs, ws, dh_top, train)
+    if not first:
+        accs[2][:] += jax.lax.dot_general(
+            hs[j], dz_next, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [F_j, F_{j+1}]
+        accs[3][:] += jnp.sum(_f32(dz_next), axis=1, keepdims=True)
+        if j == 0:
+            tiles[0][0] = dy_j
+    mu, r = packs[j][:, 2:3], packs[j][:, 3:4]
+    xhat = (_f32(zs[j]) - mu) * r
+    dyf = _f32(dy_j)
+    accs[0][:] += jnp.sum(dyf, axis=1, keepdims=True)
+    accs[1][:] += jnp.sum(dyf * xhat, axis=1, keepdims=True)
+
+
+def _bwd_dz1_kernel_p(r2, k, f0, train, ct, pt, tri, z1, dy0, pack0,
+                      dpay, dqc, acc_ref):
+    s_ch = ct.shape[1]
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a, mu, r = pack0[:, 0:1], pack0[:, 2:3], pack0[:, 3:4]
+    if train:
+        mdy, mdyx = pack0[:, 4:5], pack0[:, 5:6]
+        xhat = (_f32(z1[0]) - mu) * r
+        dz1 = _bf16((_f32(dy0[0]) - mdy - xhat * mdyx) * a)
+    else:
+        dz1 = _bf16(_f32(dy0[0]) * a)
+
+    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
+    acc_ref[:] += jax.lax.dot_general(
+        oh, dz1, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [N, F0]
+    dqc[0] = -jax.lax.dot_general(
+        _rep_matrix(s_ch, k), dz1,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [S_ch, F0]
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        dpay[0] = acc_ref[:].astype(dpay.dtype)
+
+
+# --- planar pallas_call wrappers -------------------------------------------
+
+
+def _planar_struct(b, s, k, f0):
+    return jax.ShapeDtypeStruct((b, f0, s * k), jnp.bfloat16)
+
+
+def _planar_spec(s_ch, k, f0):
+    return _vspec((1, f0, s_ch * k), lambda b_, i: (b_, 0, i))
+
+
+def _acc_spec_p(shape):
+    return (_vspec(shape, lambda b_, i: tuple(0 for _ in shape)),
+            jax.ShapeDtypeStruct(shape, jnp.float32))
+
+
+def _s_chunk_p(s, k, f_max, n):
+    """Planar chunk: bounded by both the chain budget and the one-hot
+    build budget (extract/bwd_dz1 reuse it), and rows % 128 == 0."""
+    s_ch = min(_s_chunk(s, k, f_max), _s_chunk_extract(s, k, n))
+    while (s_ch * k) % 128 and s_ch > 1:
+        s_ch -= 1
+    while s % s_ch:
+        s_ch -= 1
+    assert (s_ch * k) % 128 == 0, (s, k, s_ch)
+    return s_ch
+
+
+def _pack_planar(packs):
+    return [jnp.swapaxes(p_, 0, 1) for p_ in packs]
+
+
+def _bs_planar(bs):
+    return [b_[:, None] for b_ in bs]
+
+
+def _call_extract_p(cent, xyz, pf, qc, radius, nsample, f_max,
+                    interpret):
+    b, s, _ = cent.shape
+    n = xyz.shape[1]
+    f0 = pf.shape[-1]
+    s_ch = _s_chunk_p(s, nsample, f_max, n)
+    pt = jnp.swapaxes(xyz, 1, 2)
+    payt = jnp.swapaxes(_bf16(pf), 1, 2)               # [B, F0, N]
+    sspec, sshape = _acc_spec_p((f0, 1))
+    qspec, qshape = _acc_spec_p((f0, 1))
+    z1, sums, sumsq = pl.pallas_call(
+        partial(_extract_kernel_p, radius * radius, nsample, f0),
+        grid=(b, s // s_ch),
+        in_specs=_geo_specs(s_ch, n) + [
+            _vspec((1, f0, n), lambda b_, i: (b_, 0, 0)),
+            _vspec((1, s_ch, f0), lambda b_, i: (b_, i, 0)),
+        ],
+        out_specs=[_planar_spec(s_ch, nsample, f0), sspec, qspec],
+        out_shape=[_planar_struct(b, s, nsample, f0), sshape, qshape],
+        interpret=interpret,
+    )(cent, pt, _tri(n), payt, _bf16(qc))
+    return z1, sums[:, 0], sumsq[:, 0]
+
+
+def _chain_grid_specs_p(z1, s, k, f0, packs, ws, bs, n):
+    b = z1.shape[0]
+    f_max = max(p_.shape[0] for p_ in packs)
+    s_ch = _s_chunk_p(s, k, f_max, n)
+    grid = (b, s // s_ch)
+    specs = [_planar_spec(s_ch, k, f0)]
+    specs += _param_specs(packs, ws, bs)
+    return grid, specs, s_ch
+
+
+def _call_stats_p(z1, s, k, f0, packs, ws, bs, f_out, n, interpret):
+    depth = len(packs)
+    grid, specs, _ = _chain_grid_specs_p(z1, s, k, f0, packs, ws, bs, n)
+    sspec, sshape = _acc_spec_p((f_out, 1))
+    qspec, qshape = _acc_spec_p((f_out, 1))
+    sums, sumsq = pl.pallas_call(
+        partial(_stats_kernel_p, depth, k, f0),
+        grid=grid,
+        in_specs=specs,
+        out_specs=[sspec, qspec],
+        out_shape=[sshape, qshape],
+        interpret=interpret,
+    )(z1, *packs, *ws, *bs)
+    return sums[:, 0], sumsq[:, 0]
+
+
+def _call_fwd_out_p(z1, s, k, f0, packs, ws, bs, n, interpret):
+    depth = len(packs)
+    b = z1.shape[0]
+    f_out = packs[-1].shape[0]
+    grid, specs, s_ch = _chain_grid_specs_p(z1, s, k, f0, packs, ws, bs,
+                                            n)
+    return pl.pallas_call(
+        partial(_fwd_out_kernel_p, depth, k, f0),
+        grid=grid,
+        in_specs=specs,
+        out_specs=_vspec((1, s_ch, f_out), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, f_out), jnp.bfloat16),
+        interpret=interpret,
+    )(z1, *packs, *ws, *bs)
+
+
+def _call_bwd_r_p(j, train, z1, s, k, f0, packs, ws, bs, pooled,
+                  dpooled, ties, n, interpret):
+    depth = len(packs)
+    b = z1.shape[0]
+    f_out = pooled.shape[-1]
+    f_j = packs[j].shape[0]
+    first = j == depth - 1
+    grid, specs, s_ch = _chain_grid_specs_p(z1, s, k, f0, packs, ws, bs,
+                                            n)
+    pspec = _vspec((1, s_ch, f_out), lambda b_, i: (b_, i, 0))
+    specs += [pspec, pspec] if first else [pspec, pspec, pspec]
+    out_specs, out_shapes = [], []
+    acc_shapes = [(f_j, 1), (f_j, 1)] + (
+        [] if first else [ws[j].shape, (ws[j].shape[1], 1)])
+    for shape in acc_shapes:
+        sp, sh = _acc_spec_p(shape)
+        out_specs.append(sp)
+        out_shapes.append(sh)
+    if first:
+        out_specs.append(pspec)
+        out_shapes.append(jax.ShapeDtypeStruct((b, s, f_out),
+                                               jnp.float32))
+    elif j == 0:
+        out_specs.append(_planar_spec(s_ch, k, f0))
+        out_shapes.append(_planar_struct(b, s, k, f0))
+    ins = (pooled, dpooled.astype(jnp.bfloat16)) if first else (
+        pooled, dpooled.astype(jnp.bfloat16), ties)
+    outs = pl.pallas_call(
+        partial(_bwd_r_kernel_p, depth, j, train, k, f0),
+        grid=grid,
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(z1, *packs, *ws, *bs, *ins)
+    # Flatten the planar [F, 1] / [F_out, 1] accumulators to match the
+    # row-major wrapper's [1, F] convention downstream.
+    outs = list(outs)
+    outs[0] = outs[0][None, :, 0]
+    outs[1] = outs[1][None, :, 0]
+    if not first:
+        outs[3] = outs[3][None, :, 0]
+    return outs
+
+
+def _call_bwd_dz1_p(cent, xyz, z1, dy0, s, k, f0, pack0, radius,
+                    nsample, train, pay_dtype, f_max, interpret):
+    b = z1.shape[0]
+    n = xyz.shape[1]
+    s_ch = _s_chunk_p(s, nsample, f_max, n)
+    pt = jnp.swapaxes(xyz, 1, 2)
+    fspec = _planar_spec(s_ch, k, f0)
+    dpay, dqc = pl.pallas_call(
+        partial(_bwd_dz1_kernel_p, radius * radius, nsample, f0, train),
+        grid=(b, s // s_ch),
+        in_specs=_geo_specs(s_ch, n) + [
+            fspec, fspec,
+            _vspec(pack0.shape, lambda b_, i: (0, 0)),
+        ],
+        out_specs=[
+            _vspec((1, n, f0), lambda b_, i: (b_, 0, 0)),
+            _vspec((1, s_ch, f0), lambda b_, i: (b_, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, f0), pay_dtype),
+            jax.ShapeDtypeStruct((b, s, f0), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, f0), jnp.float32)],
+        interpret=interpret,
+    )(cent, pt, _tri(n), z1, dy0, pack0)
+    return dpay, dqc
+
+
+# ---------------------------------------------------------------------------
 # Public op with custom VJP.
 # ---------------------------------------------------------------------------
 
@@ -521,23 +914,35 @@ def _make_pack(gamma, beta, mu, var, eps, mdy=None, mdyx=None):
 
 
 def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
-              nsample, eps, train, running, interpret):
+              nsample, eps, train, running, interpret, layout="rows"):
     depth = len(gammas)
     # Depth-1 chains would leave dy0 unset in the backward cascade
     # (the j==0 pass doubles as the j==depth-1 pass); no SA config uses
     # one, so reject instead of special-casing.
     assert depth >= 2, "fused_grouped_chain requires chain depth >= 2"
+    assert layout in ("rows", "planar"), layout
     b, s, _ = new_xyz.shape
     k = nsample
     f0 = pf.shape[-1]
-    z1, s0, q0 = _call_extract(new_xyz, xyz, pf, qc, radius, nsample,
-                               interpret)
+    n = xyz.shape[1]
+    f_max = max(g.shape[0] for g in gammas)
+    planar = layout == "planar"
+    if planar:
+        z1, s0, q0 = _call_extract_p(new_xyz, xyz, pf, qc, radius,
+                                     nsample, f_max, interpret)
+    else:
+        z1, s0, q0 = _call_extract(new_xyz, xyz, pf, qc, radius,
+                                   nsample, interpret)
     m = b * s * k
     means, variances, packs = [], [], []
     for d in range(depth):
         if train:
             if d == 0:
                 sums, sumsq = s0, q0
+            elif planar:
+                sums, sumsq = _call_stats_p(
+                    z1, s, k, f0, _pack_planar(packs), ws[:d],
+                    _bs_planar(bs[:d]), gammas[d].shape[0], n, interpret)
             else:
                 sums, sumsq = _call_stats(
                     z1, s, k, f0, packs, ws[:d], bs[:d],
@@ -549,14 +954,18 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
         means.append(mu)
         variances.append(var)
         packs.append(_make_pack(gammas[d], betas[d], mu, var, eps))
-    pooled = _call_fwd_out(z1, s, k, f0, packs, ws, bs, interpret)
+    if planar:
+        pooled = _call_fwd_out_p(z1, s, k, f0, _pack_planar(packs), ws,
+                                 _bs_planar(bs), n, interpret)
+    else:
+        pooled = _call_fwd_out(z1, s, k, f0, packs, ws, bs, interpret)
     return pooled, means, variances, z1, packs
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 13))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 13, 14))
 def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
                         radius, nsample, eps, train, running,
-                        interpret=False):
+                        interpret=False, layout="rows"):
     """Fused ball-query + grouped-MLP chain + max-pool (one SA scale).
 
     Args: new_xyz [B,S,3] f32 centroids; xyz [B,N,3] f32 points;
@@ -564,7 +973,9 @@ def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
     points); qc [B,S,F0] centroid correction (dense_0 kernel applied to
     centroids, bias-free); gammas/betas: BN affine params per layer;
     ws/bs: dense_1..dense_{L-1} params; running: ((mean, var), ...) for
-    eval mode (train=False).
+    eval mode (train=False); layout: "rows" ([B,S,K,F] z storage) or
+    "planar" ([B,F,S*K] dense transposed storage — see the planar
+    section header for when each wins; requires (S*K) % 128 == 0).
 
     Returns (pooled [B,S,F_last] bf16, means, variances) — the batch
     statistics (train mode) for the caller's running-average update;
@@ -576,21 +987,21 @@ def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
     """
     pooled, means, variances, _, _ = _fwd_impl(
         new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius, nsample,
-        eps, train, running, interpret)
+        eps, train, running, interpret, layout)
     return pooled, tuple(means), tuple(variances)
 
 
 def _fgc_fwd(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
-             nsample, eps, train, running, interpret):
+             nsample, eps, train, running, interpret, layout):
     pooled, means, variances, z1, packs = _fwd_impl(
         new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius, nsample,
-        eps, train, running, interpret)
+        eps, train, running, interpret, layout)
     res = (new_xyz, xyz, z1, pooled, tuple(packs), ws, bs,
            jnp.zeros((), pf.dtype), jnp.zeros((), qc.dtype), running)
     return (pooled, tuple(means), tuple(variances)), res
 
 
-def _fgc_bwd(radius, nsample, eps, train, interpret, res, cts):
+def _fgc_bwd(radius, nsample, eps, train, interpret, layout, res, cts):
     (new_xyz, xyz, z1, pooled, packs, ws, bs, pf_tok, qc_tok,
      running) = res
     dpooled = cts[0]  # stats cotangents ignored (variable updates)
@@ -598,15 +1009,24 @@ def _fgc_bwd(radius, nsample, eps, train, interpret, res, cts):
     b, s = pooled.shape[:2]
     k = nsample
     f0 = packs[0].shape[-1]
+    n = xyz.shape[1]
+    f_max = max(p_.shape[-1] for p_ in packs)
     m = b * s * k
+    planar = layout == "planar"
     packs = list(packs)
     ties = None
     dy0 = None
     dgammas, dbetas = [None] * depth, [None] * depth
     dws, dbs = [None] * (depth - 1), [None] * (depth - 1)
     for j in range(depth - 1, -1, -1):
-        outs = _call_bwd_r(j, train, z1, s, k, f0, packs, ws, bs,
-                           pooled, dpooled, ties, interpret)
+        if planar:
+            outs = _call_bwd_r_p(j, train, z1, s, k, f0,
+                                 _pack_planar(packs), ws,
+                                 _bs_planar(bs), pooled, dpooled, ties,
+                                 n, interpret)
+        else:
+            outs = _call_bwd_r(j, train, z1, s, k, f0, packs, ws, bs,
+                               pooled, dpooled, ties, interpret)
         sdy, sdyx = outs[0][0], outs[1][0]
         dbetas[j] = sdy
         dgammas[j] = sdyx
@@ -620,9 +1040,15 @@ def _fgc_bwd(radius, nsample, eps, train, interpret, res, cts):
         if train:
             # Fill the statistic rows for the next (lower) passes.
             packs[j] = packs[j].at[4].set(sdy / m).at[5].set(sdyx / m)
-    dpf, dqc = _call_bwd_dz1(new_xyz, xyz, z1, dy0, s, k, f0,
-                             packs[0], radius, nsample, train,
-                             pf_tok.dtype, interpret)
+    if planar:
+        dpf, dqc = _call_bwd_dz1_p(new_xyz, xyz, z1, dy0, s, k, f0,
+                                   jnp.swapaxes(packs[0], 0, 1), radius,
+                                   nsample, train, pf_tok.dtype, f_max,
+                                   interpret)
+    else:
+        dpf, dqc = _call_bwd_dz1(new_xyz, xyz, z1, dy0, s, k, f0,
+                                 packs[0], radius, nsample, train,
+                                 pf_tok.dtype, interpret)
     drunning = jax.tree_util.tree_map(jnp.zeros_like, running)
     return (jnp.zeros_like(new_xyz), jnp.zeros_like(xyz), dpf,
             dqc.astype(qc_tok.dtype), tuple(dgammas), tuple(dbetas),

@@ -16,6 +16,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from transferable3d_tpu.core import numerics
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -145,10 +147,8 @@ def ball_query_group(centroids: jnp.ndarray, xyz: jnp.ndarray,
     if src.dtype == jnp.bfloat16:
         parts = [src]  # bf16 payload: the one-hot contraction is exact
     else:
-        hi = src.astype(jnp.bfloat16)
-        lo = (src.astype(jnp.float32) - hi.astype(jnp.float32)).astype(
-            jnp.bfloat16)
-        parts = [hi, lo]
+        hi, lo = numerics.exact_hi_lo(src.astype(jnp.float32))
+        parts = [hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)]
 
     def step(carry, k):
         want = jnp.mod(k, eff) + 1  # cyclic repetition past the count

@@ -51,7 +51,12 @@ def _min3(d2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def three_nn(queries: jnp.ndarray, support: jnp.ndarray
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """queries [B, M, 3], support [B, N, 3] -> (dist [B, M, 3], idx).
+    """queries [B, M, 3], support [B, N, 3] -> (d2 [B, M, 3], idx).
+
+    Returns SQUARED distances — the reference CUDA `three_nn` does too
+    (pinned by tests/test_tf1_parity_v2.test_fp_parity: the lineage
+    `pointnet_fp_module` feeds the squared outputs straight into the
+    1/d IDW weights, so interpolation is inverse-SQUARED-distance).
 
     Selection uses the fast expanded-form distance matrix (one matmul);
     the 3 selected distances are then recomputed in direct form — the
@@ -72,14 +77,15 @@ def three_nn(queries: jnp.ndarray, support: jnp.ndarray
                               precision=jax.lax.Precision.HIGHEST))
     sel = jnp.stack(sel, axis=2)  # [B, M, 3, 3]
     exact = jnp.sum((sel - queries[:, :, None, :]) ** 2, axis=-1)
-    return jnp.sqrt(jnp.maximum(exact, 0.0)), idx
+    return jnp.maximum(exact, 0.0), idx
 
 
 def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
                       dist: jnp.ndarray) -> jnp.ndarray:
     """features [B, N, C], idx/dist [B, M, 3] -> interpolated [B, M, C]
     with inverse-distance weights (reference normalization: w_i = (1/d_i)
-    / sum_j (1/d_j), eps-guarded).
+    / sum_j (1/d_j), eps-guarded; `dist` is three_nn's SQUARED output,
+    so the weights are inverse-squared-distance as in the reference).
 
     One [B, M, N] x [B, N, C] MXU contraction with the weights scattered
     into a sparse row matrix via comparisons (differentiable w.r.t. both

@@ -146,13 +146,19 @@ class WeakLossWeights:
     trust_heading: float = 1.0  # |heading delta| (rad)
 
 
-def differentiable_box(end_points: Dict, cfg: bins_lib.BinConfig
-                       ) -> boxpc_lib.BoxParams:
+def differentiable_box(end_points: Dict, cfg: bins_lib.BinConfig,
+                       class_idx=None) -> boxpc_lib.BoxParams:
     """Predicted box with gradients through center + residuals.
 
     Bin *selection* is argmax (stop-grad, straight-through style): the
     scores are trained by the strong-class CE; weak losses shape the
-    residuals and center.
+    residuals and center. When `class_idx` is given, the size cluster
+    uses the known semantic class instead of the score argmax (see
+    model_util.decode_box: cluster == class in this lineage, and the
+    class is an input). For weak classes this routes the weak-loss
+    gradients into the residual slot the eval decode actually reads —
+    the round-2 collapse drove a *wrong* locked slot's residual
+    degenerate while the true slot stayed untrained.
     """
     nh = cfg.num_heading_bin
     hcls = jax.lax.stop_gradient(
@@ -160,8 +166,11 @@ def differentiable_box(end_points: Dict, cfg: bins_lib.BinConfig
     hres = jnp.take_along_axis(end_points["heading_residuals"],
                                hcls[:, None], axis=1)[:, 0]
     heading = hcls.astype(jnp.float32) * (2 * jnp.pi / nh) + hres
-    scls = jax.lax.stop_gradient(
-        jnp.argmax(end_points["size_scores"], axis=-1))
+    if class_idx is not None:
+        scls = class_idx.astype(jnp.int32)
+    else:
+        scls = jax.lax.stop_gradient(
+            jnp.argmax(end_points["size_scores"], axis=-1))
     sres = jnp.take_along_axis(end_points["size_residuals"],
                                scls[:, None, None], axis=1)[:, 0]
     mean_sizes = jnp.asarray(cfg.mean_size_array())
@@ -246,7 +255,8 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
                 weights: WeakLossWeights = WeakLossWeights()
                 ) -> Dict[str, jnp.ndarray]:
     """Transferable supervision for weak (2D-only) examples."""
-    box = differentiable_box(end_points, cfg)
+    box = differentiable_box(end_points, cfg,
+                             class_idx=batch.get("class_idx"))
     frozen = jax.lax.stop_gradient(boxpc_variables)
     out = boxpc_model.apply(frozen, batch["points"], box, train=False)
 

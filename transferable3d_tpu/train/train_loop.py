@@ -163,7 +163,7 @@ def make_predict_step(model, cfg: bins_lib.BinConfig):
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["points"], batch["one_hot"], train=False)
         center, size, heading, hcls, scls = model_util.decode_box(
-            end_points, cfg)
+            end_points, cfg, class_idx=batch.get("class_idx"))
         seg_logits = end_points["seg_logits"]
         seg_prob = jax.nn.softmax(seg_logits, axis=-1)[..., 1]
         mask = end_points["mask"]

@@ -79,13 +79,17 @@ def list_tf1_variables(ckpt_path: str) -> Dict[str, Tuple[int, ...]]:
 def import_tf1_checkpoint(
         ckpt_path: str,
         name_map: Optional[Dict[str, str]] = None,
-        concat_conv: str = V1_CONCAT_CONV,
+        concat_conv: Optional[str] = V1_CONCAT_CONV,
         concat_split: int = V1_CONCAT_SPLIT,
         strict: bool = True,
+        include_v1_map: bool = True,
 ) -> Tuple[dict, dict]:
     """Returns (params, batch_stats) pytrees for FrustumPointNetV1.
 
     `name_map` overrides/extends V1_CONV_MAP (our path -> TF scope).
+    `include_v1_map=False` with `concat_conv=None` imports an arbitrary
+    TF1 conv/fc checkpoint through `name_map` alone (used by the v2
+    SA-MSG/FP parity twins, whose param trees have no concat conv).
     """
     reader = _reader(ckpt_path)
     available = set(reader.get_variable_to_shape_map())
@@ -97,7 +101,7 @@ def import_tf1_checkpoint(
                 return np.asarray(reader.get_tensor(candidate))
         return None
 
-    mapping = dict(V1_CONV_MAP)
+    mapping = dict(V1_CONV_MAP) if include_v1_map else {}
     if name_map:
         mapping.update(name_map)
 
@@ -137,8 +141,10 @@ def import_tf1_checkpoint(
         pull(our_path, scope)
 
     # The concat conv: split rows into point / global parts.
-    w = get(f"{concat_conv}/weights")
-    if w is not None:
+    w = get(f"{concat_conv}/weights") if concat_conv else None
+    if concat_conv is None:
+        pass
+    elif w is not None:
         if w.ndim == 4:
             w = w.reshape(w.shape[2], w.shape[3])
         _set_path(params, ["seg_net", "mlp3_point", "kernel"],
