@@ -404,6 +404,52 @@ def test_boxpc_trust_gate_zeroes_ood_examples():
     np.testing.assert_array_equal(np.asarray(grads), 0.0)
 
 
+def test_boxpc_trust_gate_prior_size_window():
+    """Round-3 collapse mode (b): a box whose size has left the log
+    window around the class prior must have its BoxPC losses gated to
+    zero, even when BoxPC's own deltas look in-domain — the shrink
+    feedback loop presents exactly that signature (tiny box, confident
+    frozen net)."""
+    w = semisup.WeakLossWeights()
+    # ex0 at the prior; ex1 shrunk to 2 cm (log ratio ~ -3.9); ex2
+    # inflated 4x (log ratio ~ 1.39 > 1.0).
+    box = BoxParams(center=jnp.zeros((3, 3)),
+                    size=jnp.asarray([[1.0, 1.0, 1.0],
+                                      [0.02, 1.0, 1.0],
+                                      [4.0, 1.0, 1.0]]),
+                    heading=jnp.zeros((3,)))
+    out = {
+        "fit_logit": jnp.zeros((3,)),
+        "delta_center": jnp.full((3, 3), 0.05),
+        "delta_size": jnp.full((3, 3), 0.05),
+        "delta_heading": jnp.full((3,), 0.05),
+    }
+    prior = jnp.ones((3, 3))
+    gate = semisup.boxpc_trust_gate(out, box, w, prior=prior)
+    np.testing.assert_array_equal(np.asarray(gate), [1.0, 0.0, 0.0])
+    # Without the prior the same examples pass the delta-only gate.
+    gate_np = semisup.boxpc_trust_gate(out, box, w)
+    np.testing.assert_array_equal(np.asarray(gate_np), [1.0, 1.0, 1.0])
+
+
+def test_refine_size_gradient_bounded_as_box_shrinks():
+    """The refine size term must keep a BOUNDED gradient as the box
+    shrinks (the log-space form's 1/size gradient powered the shrink
+    feedback loop). Prior-normalized linear huber: |d loss / d size| is
+    <= 1/prior regardless of how small the box gets."""
+    prior = jnp.asarray([2.0])
+
+    def refine_size_term(size, refined):
+        a = jnp.abs((size - refined) / prior)
+        q = jnp.minimum(a, 1.0)
+        return jnp.sum(0.5 * q ** 2 + (a - q))
+
+    refined = jnp.asarray([1.9])
+    for s in (1.0, 0.1, 0.01, 1e-4):
+        g = jax.grad(refine_size_term)(jnp.asarray([s]), refined)
+        assert abs(float(g[0])) <= 1.0 / float(prior[0]) + 1e-6, s
+
+
 def test_semisup_dp_invariance_1_vs_8_devices():
     """1-vs-8-device invariance for the fused semisup step (VERDICT r02
     item 7): the two-model, two-batch-stream step must give the same

@@ -144,6 +144,19 @@ class WeakLossWeights:
     trust_center: float = 0.7   # |delta_center| / max(size)
     trust_size: float = 0.7     # max |log-size delta|
     trust_heading: float = 1.0  # |heading delta| (rad)
+    # Round-3 second collapse mode (after the class-conditioned size
+    # decode): 2/8 seeds still hit mAP 0 with the TRUE size slot's
+    # dim-0 residual driven to the 1 cm floor. Mechanism: the original
+    # refine term huber(log(size/refined)) has d/d(size) ~ 1/size —
+    # unbounded as the box shrinks — so a frozen BoxPC with a small
+    # systematic shrink bias beats the linear-gradient size prior in a
+    # feedback loop and rides the size to zero. Two measures: (a) the
+    # refine size term is prior-normalized LINEAR huber (bounded
+    # gradient, same minimum); (b) the gate also zeroes BoxPC losses
+    # whenever the predicted size leaves a log window around the known
+    # class prior — the prior is then the only force and restores the
+    # box (no hysteresis).
+    trust_prior_logsize: float = 1.0  # max |log(size / class prior)|
 
 
 def differentiable_box(end_points: Dict, cfg: bins_lib.BinConfig,
@@ -228,15 +241,20 @@ def calib_reprojection_residual(corners: jnp.ndarray,
 
 
 def boxpc_trust_gate(out: Dict, box: boxpc_lib.BoxParams,
-                     weights: "WeakLossWeights") -> jnp.ndarray:
+                     weights: "WeakLossWeights",
+                     prior: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-example gate [B] on the BoxPC-derived losses (fit, refine).
 
     1.0 iff BoxPC's own predicted delta stays inside the perturbation
     sampler's support (see WeakLossWeights.trust_gate for the collapse
-    mechanism this interrupts). The consumer multiplies per-example
-    losses by the gate under an ABSOLUTE mean (over the batch, not over
-    gated examples): an out-of-domain box contributes exactly zero
-    gradient rather than re-weighting its neighbors.
+    mechanism this interrupts) AND, when the per-class mean-size `prior`
+    [B, 3] is given, the predicted size stays inside a log window around
+    it (WeakLossWeights.trust_prior_logsize — interrupts the shrink
+    feedback loop: outside the window only the size prior acts, which
+    restores the box). The consumer multiplies per-example losses by the
+    gate under an ABSOLUTE mean (over the batch, not over gated
+    examples): an out-of-domain box contributes exactly zero gradient
+    rather than re-weighting its neighbors.
     """
     if not weights.trust_gate:
         return jnp.ones_like(out["fit_logit"])
@@ -244,10 +262,15 @@ def boxpc_trust_gate(out: Dict, box: boxpc_lib.BoxParams,
     dc_mag = jnp.linalg.norm(out["delta_center"], axis=-1) / scale
     ds_mag = jnp.max(jnp.abs(out["delta_size"]), axis=-1)
     dh_mag = jnp.abs(out["delta_heading"])
-    return jax.lax.stop_gradient(
-        ((dc_mag <= weights.trust_center)
-         & (ds_mag <= weights.trust_size)
-         & (dh_mag <= weights.trust_heading)).astype(jnp.float32))
+    ok = ((dc_mag <= weights.trust_center)
+          & (ds_mag <= weights.trust_size)
+          & (dh_mag <= weights.trust_heading))
+    if prior is not None:
+        prior_dev = jnp.max(
+            jnp.abs(jnp.log(jnp.maximum(box.size, 1e-3) / prior)),
+            axis=-1)
+        ok = ok & (prior_dev <= weights.trust_prior_logsize)
+    return jax.lax.stop_gradient(ok.astype(jnp.float32))
 
 
 def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
@@ -260,7 +283,9 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
     frozen = jax.lax.stop_gradient(boxpc_variables)
     out = boxpc_model.apply(frozen, batch["points"], box, train=False)
 
-    gate = boxpc_trust_gate(out, box, weights)
+    mean_sizes = jnp.asarray(cfg.mean_size_array())
+    prior = mean_sizes[batch["class_idx"]]  # [B, 3]
+    gate = boxpc_trust_gate(out, box, weights, prior=prior)
 
     # (a) maximize BoxPC fit probability of the predicted box.
     logit = out["fit_logit"]
@@ -279,10 +304,16 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
         h = huber(x, d)
         return h if h.ndim == 1 else jnp.mean(h, axis=-1)
 
+    # Size term is PRIOR-normalized linear huber, not log-space: the
+    # log form's d/d(size) ~ 1/size explodes as the box shrinks, which
+    # let a frozen BoxPC with a small shrink bias overpower the linear
+    # size prior and ride the size to the floor (round-3 collapse mode
+    # (b) — see WeakLossWeights.trust_prior_logsize). Same minimum
+    # (size == refined), bounded gradient (<= 1/prior).
     refine_loss = jnp.mean(gate * (
         huber_ex(box.center - refined.center)
         + huber_ex(box.heading - refined.heading)
-        + huber_ex(jnp.log(box.size / refined.size))))
+        + huber_ex((box.size - refined.size) / prior)))
 
     # (c) 2D reprojection consistency: calib-exact corner projection for
     # examples that carry a camera matrix (KITTI; has_calib==1), the
@@ -302,9 +333,8 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
     q = jnp.minimum(err, d)
     reproj_loss = jnp.mean(0.5 * q ** 2 + d * (err - q))
 
-    # (d) per-class mean-size prior (normalized).
-    mean_sizes = jnp.asarray(cfg.mean_size_array())
-    prior = mean_sizes[batch["class_idx"]]
+    # (d) per-class mean-size prior (normalized; `prior` computed above
+    # for the gate).
     size_prior_loss = jnp.mean(huber((box.size - prior) / prior))
 
     # (e) size-class CE from the known 2D class label (see
