@@ -450,6 +450,42 @@ def test_refine_size_gradient_bounded_as_box_shrinks():
         assert abs(float(g[0])) <= 1.0 / float(prior[0]) + 1e-6, s
 
 
+def test_size_floor_is_straight_through():
+    """The 1 cm size floor must pass gradient THROUGH (straight-through
+    clip). With a hard maximum(), a residual pushed below the floor had
+    ZERO restoring gradient from the size prior — a one-way trap: the
+    round-3 study's collapsed seed showed the true slot's dim-0 at
+    exactly 0.01 for 5/6 weak classes while every weak loss was blind to
+    it. Forward value stays clipped; gradients see the raw size."""
+    nh = CFG.num_heading_bin
+    ns = CFG.num_size_cluster
+    cls = jnp.asarray([0, 1], jnp.int32)
+    mean_sizes = jnp.asarray(CFG.mean_size_array())
+
+    def loss_of(res):
+        end_points = {
+            "center": jnp.zeros((2, 3)),
+            "heading_scores": jnp.zeros((2, nh)),
+            "heading_residuals": jnp.zeros((2, nh)),
+            "size_residuals": res,
+        }
+        box = semisup.differentiable_box(end_points, CFG, class_idx=cls)
+        prior = mean_sizes[cls]
+        return jnp.sum(((box.size - prior) / prior) ** 2), box
+
+    res = np.zeros((2, ns, 3), np.float32)
+    res[0, 0, :] = -10.0  # raw size of example 0 far below the floor
+    (_, box), g = jax.value_and_grad(loss_of, has_aux=True)(
+        jnp.asarray(res))
+    # Forward clipped (atol covers f32 cancellation in raw + (clip-raw)).
+    assert np.allclose(np.asarray(box.size[0]), 0.01, atol=1e-5)
+    g = np.asarray(g)
+    # Restoring gradient at the floored slot: descent INCREASES the size.
+    assert np.all(g[0, 0] < -1e-3)
+    # Healthy example at its prior: no spurious gradient.
+    assert np.allclose(g[1], 0.0, atol=1e-6)
+
+
 def test_semisup_dp_invariance_1_vs_8_devices():
     """1-vs-8-device invariance for the fused semisup step (VERDICT r02
     item 7): the two-model, two-batch-stream step must give the same

@@ -187,7 +187,17 @@ def differentiable_box(end_points: Dict, cfg: bins_lib.BinConfig,
     sres = jnp.take_along_axis(end_points["size_residuals"],
                                scls[:, None, None], axis=1)[:, 0]
     mean_sizes = jnp.asarray(cfg.mean_size_array())
-    size = jnp.maximum(mean_sizes[scls] + sres, 0.01)
+    raw = mean_sizes[scls] + sres
+    # Straight-through floor: forward value is clipped (downstream
+    # corner/IoU math needs positive extents) but gradients see the raw
+    # size. A hard maximum() has ZERO gradient below the floor, which
+    # turned the 1 cm clip into a one-way trap: a transient early shrink
+    # past the floor (BoxPC warmup push, pre-trust-gate) left the
+    # residual with no restoring gradient from the size prior — the
+    # round-3 study's collapse signature was the true slot's dim-0 at
+    # exactly 0.01 for 5/6 weak classes while every weak loss was blind
+    # to it.
+    size = raw + jax.lax.stop_gradient(jnp.maximum(raw, 0.01) - raw)
     return boxpc_lib.BoxParams(center=end_points["center"], size=size,
                                heading=heading)
 
@@ -434,7 +444,8 @@ def make_semisup_train_step(detector_model, boxpc_model,
         metrics = dict(losses)
         metrics["lr"] = lr_schedule(det.step)
         if step_cfg.compute_iou_metrics:
-            metrics.update(model_util.compute_metrics(ep_s, labels, cfg))
+            metrics.update(model_util.compute_metrics(
+                ep_s, labels, cfg, class_idx=strong.get("class_idx")))
 
         new_det = train_loop.TrainState(
             step=det.step + 1, params=new_params,

@@ -117,7 +117,8 @@ def make_train_step(model, cfg: bins_lib.BinConfig, tx,
         metrics["bn_momentum"] = bn_momentum
         if step_cfg.compute_iou_metrics:
             metrics.update(model_util.compute_metrics(
-                end_points, labels, cfg))
+                end_points, labels, cfg,
+                class_idx=batch.get("class_idx")))
 
         new_state = TrainState(
             step=state.step + 1, params=new_params,
@@ -144,7 +145,8 @@ def make_eval_step(model, cfg: bins_lib.BinConfig,
         metrics = dict(losses)
         if step_cfg.compute_iou_metrics:
             metrics.update(model_util.compute_metrics(
-                end_points, labels, cfg))
+                end_points, labels, cfg,
+                class_idx=batch.get("class_idx")))
         return metrics
 
     return jax.jit(step_fn)
