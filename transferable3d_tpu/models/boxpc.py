@@ -105,19 +105,38 @@ def apply_deltas(box: BoxParams, deltas: Dict[str, jnp.ndarray]
 # ---------------------------------------------------------------------------
 
 def sample_perturbed_boxes(rng: jax.Array, gt: BoxParams,
-                           small_frac: float = 0.5) -> BoxParams:
+                           small_frac: float = 0.5,
+                           wide_frac: float = 0.25) -> BoxParams:
     """Random perturbations of GT boxes (reference: host-side sampler).
 
     A per-sample mixture of small perturbations (mostly still "fit") and
-    large ones (mostly "no fit") keeps the fit labels balanced around the
-    IoU threshold instead of collapsing to one class.
+    medium ones (mostly "no fit") keeps the fit labels balanced around
+    the IoU threshold instead of collapsing to one class.
+
+    The third, WIDE arm exists because the semi-supervised detector
+    optimizes *through* the frozen fit head (train/semisup.weak_losses):
+    wherever the sampler never put a box, the learned fit landscape is
+    unconstrained extrapolation, and gradient descent will find any
+    direction where it spuriously slopes toward "fits". Round-3
+    forensics on a collapsed seed measured exactly that: with the old
+    support capped at exp(+-0.35) size scaling, the fit term's gradient
+    on a 0.2x-shrunken dim-0 still pointed DOWN (+0.177 per batch vs
+    the size prior's -0.098 restoring force) because BoxPC had never
+    seen a thin box labeled "no fit". The wide arm samples log-size in
+    +-1.4 (0.25x..4x, per-dim, so anisotropic pancake/needle boxes
+    appear), center offsets ~0.5x size, and headings ~0.8 rad; IoU
+    labeling marks them unfit automatically, pinning the fit landscape
+    down everywhere the trust gate (semisup.WeakLossWeights) can admit
+    a predicted box.
     """
     r0, r1, r2, r3 = jax.random.split(rng, 4)
     b = gt.center.shape[0]
-    small = jax.random.uniform(r0, (b,)) < small_frac
-    c_std = jnp.where(small, 0.05, 0.35)[:, None]
-    s_rng = jnp.where(small, 0.05, 0.35)[:, None]
-    h_std = jnp.where(small, 0.05, 0.5)
+    u = jax.random.uniform(r0, (b,))
+    small = u < small_frac
+    wide = u >= 1.0 - wide_frac
+    c_std = jnp.where(small, 0.05, jnp.where(wide, 0.5, 0.35))[:, None]
+    s_rng = jnp.where(small, 0.05, jnp.where(wide, 1.4, 0.35))[:, None]
+    h_std = jnp.where(small, 0.05, jnp.where(wide, 0.8, 0.5))
     dc = jax.random.normal(r1, (b, 3)) * c_std * jnp.maximum(gt.size, 0.1)
     ds = jnp.exp(jax.random.uniform(r2, (b, 3), minval=-1.0, maxval=1.0)
                  * s_rng)
