@@ -18,6 +18,10 @@ B, S, N, F0, K, R = 2, 8, 64, 16, 16, 0.9
 FEATS = (F0, 24, 40)
 L = len(FEATS)
 EPS = 1e-3
+# (layout, pass-schedule) combinations of fused_grouped_chain; the
+# cached schedule implies row-major storage (ops/fused_sa).
+MODES = [("rows", "recompute"), ("planar", "recompute"),
+         ("rows", "cached")]
 
 
 def _setup(seed, integer_data=False):
@@ -82,12 +86,12 @@ def _ref(cent, xyz, args, running=None, folded=False):
     return jnp.max(x, axis=2), means, variances
 
 
-@pytest.mark.parametrize("layout", ["rows", "planar"])
-def test_forward_train_matches_unfused(layout):
+@pytest.mark.parametrize("layout,schedule", MODES)
+def test_forward_train_matches_unfused(layout, schedule):
     cent, xyz, args = _setup(0)
     p_ref, m_ref, v_ref = _ref(cent, xyz, args)
     p, m, v = fused_sa.fused_grouped_chain(cent, xyz, *args, R, K, EPS,
-                                           True, None, True, layout)
+                                           True, None, True, layout, schedule)
     pr = np.asarray(p_ref.astype(jnp.float32))
     pg = np.asarray(p.astype(jnp.float32))
     scale = np.abs(pr).max()
@@ -99,15 +103,15 @@ def test_forward_train_matches_unfused(layout):
                                    atol=5e-3)
 
 
-@pytest.mark.parametrize("layout", ["rows", "planar"])
-def test_eval_mode_bit_exact_and_grads(layout):
+@pytest.mark.parametrize("layout,schedule", MODES)
+def test_eval_mode_bit_exact_and_grads(layout, schedule):
     cent, xyz, args = _setup(1)
     _, m, v = fused_sa.fused_grouped_chain(cent, xyz, *args, R, K, EPS,
-                                           True, None, True, layout)
+                                           True, None, True, layout, schedule)
     running = tuple((m[i], v[i]) for i in range(L))
     p_ref, _, _ = _ref(cent, xyz, args, running=running)
     p, _, _ = fused_sa.fused_grouped_chain(cent, xyz, *args, R, K, EPS,
-                                           False, running, True, layout)
+                                           False, running, True, layout, schedule)
     np.testing.assert_array_equal(
         np.asarray(p_ref.astype(jnp.float32)),
         np.asarray(p.astype(jnp.float32)))
@@ -118,7 +122,7 @@ def test_eval_mode_bit_exact_and_grads(layout):
         _ref(cent, xyz, a, running=running)[0].astype(jnp.float32)
         * w_r))(args)
     gn = jax.grad(lambda a: jnp.sum(fused_sa.fused_grouped_chain(
-        cent, xyz, *a, R, K, EPS, False, running, True, layout)[0].astype(
+        cent, xyz, *a, R, K, EPS, False, running, True, layout, schedule)[0].astype(
             jnp.float32) * w_r))(args)
     for a, b in zip(jax.tree_util.tree_leaves(gr),
                     jax.tree_util.tree_leaves(gn)):
@@ -127,15 +131,15 @@ def test_eval_mode_bit_exact_and_grads(layout):
         assert np.linalg.norm(a - b) / max(1e-6, np.linalg.norm(a)) < 0.02
 
 
-@pytest.mark.parametrize("layout", ["rows", "planar"])
-def test_train_grads_match_with_exact_stats(layout):
+@pytest.mark.parametrize("layout,schedule", MODES)
+def test_train_grads_match_with_exact_stats(layout, schedule):
     """Integer data -> exact batch statistics -> the train-mode BN
     backward (statistic correction terms) is testable tightly."""
     cent, xyz, args = _setup(3, integer_data=True)
     gr = jax.grad(lambda a: jnp.sum(
         _ref(cent, xyz, a, folded=True)[0].astype(jnp.float32)))(args)
     gn = jax.grad(lambda a: jnp.sum(fused_sa.fused_grouped_chain(
-        cent, xyz, *a, R, K, EPS, True, None, True, layout)[0].astype(
+        cent, xyz, *a, R, K, EPS, True, None, True, layout, schedule)[0].astype(
             jnp.float32)))(args)
     names = ["pf", "qc", "gammas", "betas", "ws", "bs"]
     for nm, a, b in zip(names, gr, gn):
@@ -150,13 +154,13 @@ def test_train_grads_match_with_exact_stats(layout):
             assert rel < tol, (nm, rel)
 
 
-@pytest.mark.parametrize("layout", ["rows", "planar"])
-def test_geometry_grads_are_zero(layout):
+@pytest.mark.parametrize("layout,schedule", MODES)
+def test_geometry_grads_are_zero(layout, schedule):
     cent, xyz, args = _setup(4)
 
     def loss(c, x):
         p, _, _ = fused_sa.fused_grouped_chain(c, x, *args, R, K, EPS,
-                                               True, None, True, layout)
+                                               True, None, True, layout, schedule)
         return jnp.sum(p.astype(jnp.float32))
 
     dc, dx = jax.grad(loss, argnums=(0, 1))(cent, xyz)

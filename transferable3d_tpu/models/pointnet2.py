@@ -192,10 +192,19 @@ class GroupedPointMLP(nn.Module):
         planar_min = int(os.environ.get("T3D_PLANAR_MIN_ROWS", "4096"))
         layout = ("planar" if rows % 128 == 0 and rows >= planar_min
                   else "rows")
+        # Pass schedule (round 3): "cached" stores every layer's bf16
+        # preactivation so no chain dot is ever recomputed (the passes
+        # are compute-bound on v5e — see ops/fused_sa cached section);
+        # cached implies row-major storage, so it overrides planar.
+        # Default since measured strictly faster at every SA stage
+        # (seg-SA1 50.4->41.9 ms fwd+bwd, whole-v2 1582->1846 f/s).
+        schedule = os.environ.get("T3D_SA_SCHEDULE", "cached")
+        if schedule == "cached":
+            layout = "rows"
         pooled, means, variances = fused_sa.fused_grouped_chain(
             new_xyz, xyz, pf, qc, tuple(gammas), tuple(betas),
             tuple(ws), tuple(bs), self.radius, self.nsample, 1e-3,
-            train, running, fused_sa.INTERPRET, layout)
+            train, running, fused_sa.INTERPRET, layout, schedule)
         if train and not self.is_initializing():
             m = jnp.asarray(bn_momentum, jnp.float32)
             for i in range(len(fs)):

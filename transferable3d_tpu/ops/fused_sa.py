@@ -506,6 +506,192 @@ def _call_bwd_dz1(cent, xyz, z1, dy0, s, k, f0, pack0, radius, nsample,
 
 
 # ---------------------------------------------------------------------------
+# Cached-z schedule (round 3).
+#
+# The recompute schedule above re-derives the chain from z1 in every
+# pass: at depth L the forward runs each chain dot L-i times and every
+# backward pass replays the whole forward chain — ~2.7x the minimal
+# chain FLOPs at L=3. The planar-layout experiment showed these passes
+# are COMPUTE-bound on v5e (halving HBM bytes barely moved pass times),
+# so the FLOPs are the cost that matters. This schedule instead stores
+# every layer's bf16 preactivation z_i in HBM:
+#   forward:  extract(z_0 + stats_0) -> step_1 .. step_{L-1} -> pool
+#             (step_d reads z_{d-1}, applies pack_{d-1} + Dense_{d-1},
+#              WRITES z_d, accumulates stats_d: each dot runs ONCE)
+#   backward: top (pool grad + relu mask at L-1, writes dy_{L-1})
+#             -> step_j for j = L-2..0 (reads z_j, z_{j+1}, dy_{j+1};
+#                computes dz_{j+1} with the now-final mdy/mdyx rows,
+#                one cascade dot dz_{j+1} W_j^T + the dW_j dot; writes
+#                dy_j) -> dz1 pass (unchanged, consumes dy_0)
+# No forward chain dot is ever replayed; each pass streams at most
+# three [rows, F] tensors. Extra HBM vs recompute: z_1..z_{L-1} written
+# once + read once or twice — bytes the compute-bound passes can hide.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_step_kernel(k, f_in, f_out, z_prev, pack, w, b, z_next, sums,
+                     sumsq):
+    """z_{d} = Dense_{d-1}(relu(BN(z_{d-1}))) + stats of z_d."""
+    _zero_at_first(sums, sumsq)
+    tile, s_ch = _rows(z_prev[0], f_in, k)
+    a, c = pack[0:1, :], pack[1:2, :]
+    h = jnp.maximum(_bf16(_f32(tile) * a + c), jnp.bfloat16(0))
+    z = _bf16(jnp.dot(h, _bf16(w[:]), preferred_element_type=jnp.float32)
+              + b[:])
+    z_next[0] = z.reshape(s_ch, k, f_out)
+    zf = _f32(z)
+    sums[:] += jnp.sum(zf, axis=0, keepdims=True)
+    sumsq[:] += jnp.sum(zf * zf, axis=0, keepdims=True)
+
+
+def _fwd_pool_kernel(k, f, z_last, pack, pooled):
+    tile, s_ch = _rows(z_last[0], f, k)
+    a, c = pack[0:1, :], pack[1:2, :]
+    h = jnp.maximum(_bf16(_f32(tile) * a + c), jnp.bfloat16(0))
+    pooled[0] = jnp.max(h.reshape(s_ch, k, f), axis=1)
+
+
+def _bwd_top_kernel(train, k, f, z_last, pack, pooled, dpooled, dy_out,
+                    sdy, sdyx):
+    """Backward entry at j = depth-1: max-pool gradient (jnp tie split)
+    + relu mask; writes dy_{L-1} and accumulates its BN-stat sums."""
+    _zero_at_first(sdy, sdyx)
+    tile, s_ch = _rows(z_last[0], f, k)
+    a, c, mu, r = (pack[0:1, :], pack[1:2, :], pack[2:3, :], pack[3:4, :])
+    h = jnp.maximum(_bf16(_f32(tile) * a + c), jnp.bfloat16(0))
+    pooled_rows = _expand_rows(pooled, k)
+    eq = jnp.where(_f32(h) == pooled_rows, 1.0, 0.0)
+    ties_rows = jnp.repeat(jnp.sum(eq.reshape(s_ch, k, f), axis=1), k,
+                           axis=0)
+    dh = _bf16(_f32(_expand_rows(dpooled, k)) * eq
+               / jnp.maximum(ties_rows, 1.0))
+    dy = jnp.where(_f32(h) > 0, dh, jnp.bfloat16(0))
+    dy_out[0] = dy.reshape(s_ch, k, f)
+    xhat = (_f32(tile) - mu) * r
+    dyf = _f32(dy)
+    sdy[:] += jnp.sum(dyf, axis=0, keepdims=True)
+    sdyx[:] += jnp.sum(dyf * xhat, axis=0, keepdims=True)
+
+
+def _bwd_step_kernel(train, k, f_j, f_j1, z_j, z_j1, dy_j1, pack_j,
+                     pack_j1, w_j, dy_out, sdy, sdyx, dw, db):
+    """Backward step at layer j < depth-1: BN backward of the cached
+    dy_{j+1} (pack_{j+1} rows 4/5 must be final), one cascade dot
+    through W_j, relu mask from the cached z_j; accumulates dW_j, db_j
+    and layer j's BN-stat sums; writes dy_j."""
+    _zero_at_first(sdy, sdyx, dw, db)
+    tile_j, s_ch = _rows(z_j[0], f_j, k)
+    tile_j1, _ = _rows(z_j1[0], f_j1, k)
+    dy1_rows, _ = _rows(dy_j1[0], f_j1, k)
+    a1, mu1, r1 = pack_j1[0:1, :], pack_j1[2:3, :], pack_j1[3:4, :]
+    if train:
+        mdy1, mdyx1 = pack_j1[4:5, :], pack_j1[5:6, :]
+        xhat1 = (_f32(tile_j1) - mu1) * r1
+        dz1_ = _bf16((_f32(dy1_rows) - mdy1 - xhat1 * mdyx1) * a1)
+    else:
+        dz1_ = _bf16(_f32(dy1_rows) * a1)
+    a, c, mu, r = (pack_j[0:1, :], pack_j[1:2, :], pack_j[2:3, :],
+                   pack_j[3:4, :])
+    h_j = jnp.maximum(_bf16(_f32(tile_j) * a + c), jnp.bfloat16(0))
+    dh = _bf16(jnp.dot(dz1_, _bf16(w_j[:]).T,
+                       preferred_element_type=jnp.float32))
+    dy_j = jnp.where(_f32(h_j) > 0, dh, jnp.bfloat16(0))
+    dy_out[0] = dy_j.reshape(s_ch, k, f_j)
+    xhat_j = (_f32(tile_j) - mu) * r
+    dyf = _f32(dy_j)
+    sdy[:] += jnp.sum(dyf, axis=0, keepdims=True)
+    sdyx[:] += jnp.sum(dyf * xhat_j, axis=0, keepdims=True)
+    dw[:] += jax.lax.dot_general(
+        h_j, dz1_, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db[:] += jnp.sum(_f32(dz1_), axis=0, keepdims=True)
+
+
+def _cached_grid(z_prev, s, k, f_max):
+    b = z_prev.shape[0]
+    s_ch = _s_chunk(s, k, f_max)
+    return (b, s // s_ch), s_ch
+
+
+def _call_fwd_step(z_prev, s, k, f_in, f_out, pack, w, b_, f_max,
+                   interpret):
+    b = z_prev.shape[0]
+    grid, s_ch = _cached_grid(z_prev, s, k, f_max)
+    sspec, sshape = _acc_spec((1, f_out))
+    qspec, qshape = _acc_spec((1, f_out))
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    z_next, sums, sumsq = pl.pallas_call(
+        partial(_fwd_step_kernel, k, f_in, f_out),
+        grid=grid,
+        in_specs=[_flat_spec(s_ch, k, f_in), const(pack), const(w),
+                  const(b_)],
+        out_specs=[_flat_spec(s_ch, k, f_out), sspec, qspec],
+        out_shape=[_flat_struct(b, s, k, f_out), sshape, qshape],
+        interpret=interpret,
+    )(z_prev, pack, w, b_)
+    return z_next, sums[0], sumsq[0]
+
+
+def _call_fwd_pool(z_last, s, k, f, pack, f_max, interpret):
+    b = z_last.shape[0]
+    grid, s_ch = _cached_grid(z_last, s, k, f_max)
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    return pl.pallas_call(
+        partial(_fwd_pool_kernel, k, f),
+        grid=grid,
+        in_specs=[_flat_spec(s_ch, k, f), const(pack)],
+        out_specs=_vspec((1, s_ch, f), lambda b__, i: (b__, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, f), jnp.bfloat16),
+        interpret=interpret,
+    )(z_last, pack)
+
+
+def _call_bwd_top(train, z_last, s, k, f, pack, pooled, dpooled, f_max,
+                  interpret):
+    b = z_last.shape[0]
+    grid, s_ch = _cached_grid(z_last, s, k, f_max)
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    pspec = _vspec((1, s_ch, f), lambda b__, i: (b__, i, 0))
+    sspec, sshape = _acc_spec((1, f))
+    qspec, qshape = _acc_spec((1, f))
+    return pl.pallas_call(
+        partial(_bwd_top_kernel, train, k, f),
+        grid=grid,
+        in_specs=[_flat_spec(s_ch, k, f), const(pack), pspec, pspec],
+        out_specs=[_flat_spec(s_ch, k, f), sspec, qspec],
+        out_shape=[_flat_struct(b, s, k, f), sshape, qshape],
+        interpret=interpret,
+    )(z_last, pack, pooled, dpooled.astype(jnp.bfloat16))
+
+
+def _call_bwd_step(train, z_j, z_j1, dy_j1, s, k, f_j, f_j1, pack_j,
+                   pack_j1, w_j, f_max, interpret):
+    b = z_j.shape[0]
+    grid, s_ch = _cached_grid(z_j, s, k, f_max)
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    out_specs, out_shapes = [_flat_spec(s_ch, k, f_j)], [
+        _flat_struct(b, s, k, f_j)]
+    for shape in [(1, f_j), (1, f_j), w_j.shape, (1, f_j1)]:
+        sp, sh = _acc_spec(shape)
+        out_specs.append(sp)
+        out_shapes.append(sh)
+    return pl.pallas_call(
+        partial(_bwd_step_kernel, train, k, f_j, f_j1),
+        grid=grid,
+        in_specs=[_flat_spec(s_ch, k, f_j), _flat_spec(s_ch, k, f_j1),
+                  _flat_spec(s_ch, k, f_j1), const(pack_j),
+                  const(pack_j1), const(w_j)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(z_j, z_j1, dy_j1, pack_j, pack_j1, w_j)
+
+
+# ---------------------------------------------------------------------------
 # Planar-layout kernel family (round 3).
 #
 # z tensors stored TRANSPOSED: [B, F, S*K] with the row axis on lanes.
@@ -914,13 +1100,17 @@ def _make_pack(gamma, beta, mu, var, eps, mdy=None, mdyx=None):
 
 
 def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
-              nsample, eps, train, running, interpret, layout="rows"):
+              nsample, eps, train, running, interpret, layout="rows",
+              schedule="recompute"):
     depth = len(gammas)
     # Depth-1 chains would leave dy0 unset in the backward cascade
     # (the j==0 pass doubles as the j==depth-1 pass); no SA config uses
     # one, so reject instead of special-casing.
     assert depth >= 2, "fused_grouped_chain requires chain depth >= 2"
     assert layout in ("rows", "planar"), layout
+    assert schedule in ("recompute", "cached"), schedule
+    assert not (schedule == "cached" and layout == "planar"), \
+        "cached schedule implies row-major z storage"
     b, s, _ = new_xyz.shape
     k = nsample
     f0 = pf.shape[-1]
@@ -934,7 +1124,30 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
         z1, s0, q0 = _call_extract(new_xyz, xyz, pf, qc, radius,
                                    nsample, interpret)
     m = b * s * k
+
+    def stat(sums, sumsq):
+        mu = sums / m
+        return mu, sumsq / m - mu * mu
+
     means, variances, packs = [], [], []
+    if schedule == "cached":
+        zs = [z1]
+        sums, sumsq = s0, q0
+        for d in range(depth):
+            mu, var = stat(sums, sumsq) if train else running[d]
+            means.append(mu)
+            variances.append(var)
+            packs.append(_make_pack(gammas[d], betas[d], mu, var, eps))
+            if d < depth - 1:
+                f_in = gammas[d].shape[0]
+                f_out = gammas[d + 1].shape[0]
+                z_next, sums, sumsq = _call_fwd_step(
+                    zs[d], s, k, f_in, f_out, packs[d], ws[d], bs[d],
+                    f_max, interpret)
+                zs.append(z_next)
+        pooled = _call_fwd_pool(zs[-1], s, k, gammas[-1].shape[0],
+                                packs[-1], f_max, interpret)
+        return pooled, means, variances, tuple(zs), packs
     for d in range(depth):
         if train:
             if d == 0:
@@ -947,8 +1160,7 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
                 sums, sumsq = _call_stats(
                     z1, s, k, f0, packs, ws[:d], bs[:d],
                     gammas[d].shape[0], interpret)
-            mu = sums / m
-            var = sumsq / m - mu * mu
+            mu, var = stat(sums, sumsq)
         else:
             mu, var = running[d]
         means.append(mu)
@@ -959,13 +1171,14 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
                                  _bs_planar(bs), n, interpret)
     else:
         pooled = _call_fwd_out(z1, s, k, f0, packs, ws, bs, interpret)
-    return pooled, means, variances, z1, packs
+    return pooled, means, variances, (z1,), packs
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 13, 14))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 13, 14, 15))
 def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
                         radius, nsample, eps, train, running,
-                        interpret=False, layout="rows"):
+                        interpret=False, layout="rows",
+                        schedule="recompute"):
     """Fused ball-query + grouped-MLP chain + max-pool (one SA scale).
 
     Args: new_xyz [B,S,3] f32 centroids; xyz [B,N,3] f32 points;
@@ -987,23 +1200,25 @@ def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
     """
     pooled, means, variances, _, _ = _fwd_impl(
         new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius, nsample,
-        eps, train, running, interpret, layout)
+        eps, train, running, interpret, layout, schedule)
     return pooled, tuple(means), tuple(variances)
 
 
 def _fgc_fwd(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
-             nsample, eps, train, running, interpret, layout):
-    pooled, means, variances, z1, packs = _fwd_impl(
+             nsample, eps, train, running, interpret, layout, schedule):
+    pooled, means, variances, zs, packs = _fwd_impl(
         new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius, nsample,
-        eps, train, running, interpret, layout)
-    res = (new_xyz, xyz, z1, pooled, tuple(packs), ws, bs,
+        eps, train, running, interpret, layout, schedule)
+    res = (new_xyz, xyz, zs, pooled, tuple(packs), ws, bs,
            jnp.zeros((), pf.dtype), jnp.zeros((), qc.dtype), running)
     return (pooled, tuple(means), tuple(variances)), res
 
 
-def _fgc_bwd(radius, nsample, eps, train, interpret, layout, res, cts):
-    (new_xyz, xyz, z1, pooled, packs, ws, bs, pf_tok, qc_tok,
+def _fgc_bwd(radius, nsample, eps, train, interpret, layout, schedule,
+             res, cts):
+    (new_xyz, xyz, zs, pooled, packs, ws, bs, pf_tok, qc_tok,
      running) = res
+    z1 = zs[0]
     dpooled = cts[0]  # stats cotangents ignored (variable updates)
     depth = len(packs)
     b, s = pooled.shape[:2]
@@ -1018,28 +1233,51 @@ def _fgc_bwd(radius, nsample, eps, train, interpret, layout, res, cts):
     dy0 = None
     dgammas, dbetas = [None] * depth, [None] * depth
     dws, dbs = [None] * (depth - 1), [None] * (depth - 1)
-    for j in range(depth - 1, -1, -1):
-        if planar:
-            outs = _call_bwd_r_p(j, train, z1, s, k, f0,
-                                 _pack_planar(packs), ws,
-                                 _bs_planar(bs), pooled, dpooled, ties,
-                                 n, interpret)
-        else:
-            outs = _call_bwd_r(j, train, z1, s, k, f0, packs, ws, bs,
-                               pooled, dpooled, ties, interpret)
-        sdy, sdyx = outs[0][0], outs[1][0]
-        dbetas[j] = sdy
-        dgammas[j] = sdyx
-        if j == depth - 1:
-            ties = outs[2]
-        else:
-            dws[j] = outs[2]
-            dbs[j] = outs[3][0]
-            if j == 0:
-                dy0 = outs[4]
-        if train:
-            # Fill the statistic rows for the next (lower) passes.
-            packs[j] = packs[j].at[4].set(sdy / m).at[5].set(sdyx / m)
+    if schedule == "cached":
+        fdims = [p_.shape[-1] for p_ in packs]
+        dy_next = None
+        for j in range(depth - 1, -1, -1):
+            if j == depth - 1:
+                dy_next, sdy, sdyx = _call_bwd_top(
+                    train, zs[j], s, k, fdims[j], packs[j], pooled,
+                    dpooled, f_max, interpret)
+            else:
+                dy_next, sdy, sdyx, dws[j], dbs_ = _call_bwd_step(
+                    train, zs[j], zs[j + 1], dy_next, s, k, fdims[j],
+                    fdims[j + 1], packs[j], packs[j + 1], ws[j], f_max,
+                    interpret)
+                dbs[j] = dbs_[0]
+            sdy, sdyx = sdy[0], sdyx[0]
+            dbetas[j] = sdy
+            dgammas[j] = sdyx
+            if train:
+                packs[j] = (packs[j].at[4].set(sdy / m)
+                            .at[5].set(sdyx / m))
+        dy0 = dy_next
+    else:
+        for j in range(depth - 1, -1, -1):
+            if planar:
+                outs = _call_bwd_r_p(j, train, z1, s, k, f0,
+                                     _pack_planar(packs), ws,
+                                     _bs_planar(bs), pooled, dpooled,
+                                     ties, n, interpret)
+            else:
+                outs = _call_bwd_r(j, train, z1, s, k, f0, packs, ws,
+                                   bs, pooled, dpooled, ties, interpret)
+            sdy, sdyx = outs[0][0], outs[1][0]
+            dbetas[j] = sdy
+            dgammas[j] = sdyx
+            if j == depth - 1:
+                ties = outs[2]
+            else:
+                dws[j] = outs[2]
+                dbs[j] = outs[3][0]
+                if j == 0:
+                    dy0 = outs[4]
+            if train:
+                # Fill the statistic rows for the next (lower) passes.
+                packs[j] = (packs[j].at[4].set(sdy / m)
+                            .at[5].set(sdyx / m))
     if planar:
         dpf, dqc = _call_bwd_dz1_p(new_xyz, xyz, z1, dy0, s, k, f0,
                                    jnp.swapaxes(packs[0], 0, 1), radius,
