@@ -48,7 +48,7 @@ def one_scale(rng, k, feats, schedule):
         pf_, qc_, ws_, bs_ = args
         pooled, _, _ = fused_sa.fused_grouped_chain(
             cent, xyz, pf_, qc_, gammas, betas, ws_, bs_, 0.8, k, 1e-3,
-            True, None, False, "rows", schedule)
+            True, None, False, LAYOUT, schedule)
         return jnp.sum(pooled.astype(jnp.float32))
 
     g = jax.jit(jax.grad(loss))
@@ -57,11 +57,17 @@ def one_scale(rng, k, feats, schedule):
     return g, args
 
 
+LAYOUT = "rows"
+
+
 def main():
+    global LAYOUT
     p = argparse.ArgumentParser()
     p.add_argument("--schedule", default="cached")
+    p.add_argument("--layout", default="rows")
     p.add_argument("--steps", type=int, default=3)
     args = p.parse_args()
+    LAYOUT = args.layout
     jax.config.update("jax_default_prng_impl", "rbg")
 
     rng = np.random.RandomState(0)
@@ -78,7 +84,7 @@ def main():
     ps = xplane_exclusive_ps(tdir)
     rows = sorted(ps.items(), key=lambda kv: -kv[1])
     total = sum(ps.values())
-    print(f"schedule={args.schedule}  total device "
+    print(f"schedule={args.schedule} layout={LAYOUT}  total device "
           f"{total / 1e9 / args.steps:.3f} ms/step over {len(rows)} ops")
     for name, v in rows[:28]:
         print(f"  {v / 1e9 / args.steps:8.3f} ms  {100 * v / total:5.1f}%"

@@ -18,10 +18,9 @@ B, S, N, F0, K, R = 2, 8, 64, 16, 16, 0.9
 FEATS = (F0, 24, 40)
 L = len(FEATS)
 EPS = 1e-3
-# (layout, pass-schedule) combinations of fused_grouped_chain; the
-# cached schedule implies row-major storage (ops/fused_sa).
+# (layout, pass-schedule) combinations of fused_grouped_chain.
 MODES = [("rows", "recompute"), ("planar", "recompute"),
-         ("rows", "cached")]
+         ("rows", "cached"), ("planar", "cached")]
 
 
 def _setup(seed, integer_data=False):

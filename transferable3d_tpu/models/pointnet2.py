@@ -190,17 +190,21 @@ class GroupedPointMLP(nn.Module):
         # regress at small S*K — measured round 2).
         rows = new_xyz.shape[1] * self.nsample
         planar_min = int(os.environ.get("T3D_PLANAR_MIN_ROWS", "4096"))
-        layout = ("planar" if rows % 128 == 0 and rows >= planar_min
-                  else "rows")
+        # Planar only pays when row-major storage would pad: z tensors
+        # with F >= 128 are lane-dense either way, and planar's
+        # segment-max rolls + replication dots then cost ~+1.4 ms at
+        # the seg-SA2 K=128 scale (measured round 3).
+        padded = min(self.features) < 128
+        layout = ("planar" if padded and rows % 128 == 0
+                  and rows >= planar_min else "rows")
         # Pass schedule (round 3): "cached" stores every layer's bf16
         # preactivation so no chain dot is ever recomputed (the passes
-        # are compute-bound on v5e — see ops/fused_sa cached section);
-        # cached implies row-major storage, so it overrides planar.
+        # become HBM streamers — see ops/fused_sa cached section).
         # Default since measured strictly faster at every SA stage
         # (seg-SA1 50.4->41.9 ms fwd+bwd, whole-v2 1582->1846 f/s).
+        # cached composes with either layout; the planar rule above
+        # (dense storage at large S*K) applies unchanged.
         schedule = os.environ.get("T3D_SA_SCHEDULE", "cached")
-        if schedule == "cached":
-            layout = "rows"
         pooled, means, variances = fused_sa.fused_grouped_chain(
             new_xyz, xyz, pf, qc, tuple(gammas), tuple(betas),
             tuple(ws), tuple(bs), self.radius, self.nsample, 1e-3,

@@ -692,6 +692,202 @@ def _call_bwd_step(train, z_j, z_j1, dy_j1, s, k, f_j, f_j1, pack_j,
 
 
 # ---------------------------------------------------------------------------
+# Cached-z schedule, PLANAR storage (round 3, second pass).
+#
+# The cached schedule's passes are few-FLOP streamers: each reads 1-3 z
+# tensors and does one or two chain dots. In the row-major [B, S, K, F]
+# layout those streams pay the 128-lane HBM padding (2-4x the bytes at
+# F = 64/32) — the dominant cost once the redundant recompute FLOPs are
+# gone. These twins store z/dy as dense planar [B, F, S*K] instead; the
+# chain dots contract over full 4096-lane tiles, and only the pool /
+# ties / broadcast ops pay the planar tax (segment rolls + replication
+# dots), which amortizes at seg-SA1 row counts (S*K >= 4096) — the same
+# per-scale layout rule as the recompute planar family.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_step_kernel_cp(k, f_in, f_out, z_prev, pack, w, b, z_next,
+                        sums, sumsq):
+    """Planar cached fwd step: z_{d} = Dense(relu(BN(z_{d-1}))) + stats.
+
+    pack [F_in, 6] planar; w [F_in, F_out] raw; b [F_out, 1]."""
+    _zero_at_first(sums, sumsq)
+    a, c = pack[:, 0:1], pack[:, 1:2]
+    h = jnp.maximum(_bf16(_f32(z_prev[0]) * a + c), jnp.bfloat16(0))
+    z = _bf16(jax.lax.dot_general(
+        _bf16(w[:]), h, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b[:])
+    z_next[0] = z
+    zf = _f32(z)
+    sums[:] += jnp.sum(zf, axis=1, keepdims=True)
+    sumsq[:] += jnp.sum(zf * zf, axis=1, keepdims=True)
+
+
+def _fwd_pool_kernel_cp(k, f, z_last, pack, pooled):
+    s_ch = pooled.shape[1]
+    a, c = pack[:, 0:1], pack[:, 1:2]
+    h = jnp.maximum(_bf16(_f32(z_last[0]) * a + c), jnp.bfloat16(0))
+    hmax = _seg_max_lanes(_f32(h), k)
+    pooled[0] = jax.lax.dot_general(
+        _sel_matrix(s_ch, k), hmax,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(pooled.dtype)
+
+
+def _bwd_top_kernel_cp(train, k, f, z_last, pack, pooled, dpooled,
+                       dy_out, sdy, sdyx):
+    """Planar cached backward entry at j = depth-1 (ties in-kernel)."""
+    _zero_at_first(sdy, sdyx)
+    s_ch = pooled.shape[1]
+    a, c, mu, r = (pack[:, 0:1], pack[:, 1:2], pack[:, 2:3],
+                   pack[:, 3:4])
+    h = jnp.maximum(_bf16(_f32(z_last[0]) * a + c), jnp.bfloat16(0))
+    pooled_rep = _rep_cols(pooled, s_ch, k)
+    eq = jnp.where(_f32(h) == pooled_rep, 1.0, 0.0)
+    ties_tile = jax.lax.dot_general(
+        _rep_matrix(s_ch, k), eq.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [S_ch, F]
+    dh = _bf16(_rep_cols(dpooled, s_ch, k) * eq
+               / jnp.maximum(_rep_cols_arr(ties_tile, k), 1.0))
+    dy = jnp.where(_f32(h) > 0, dh, jnp.bfloat16(0))
+    dy_out[0] = dy
+    xhat = (_f32(z_last[0]) - mu) * r
+    dyf = _f32(dy)
+    sdy[:] += jnp.sum(dyf, axis=1, keepdims=True)
+    sdyx[:] += jnp.sum(dyf * xhat, axis=1, keepdims=True)
+
+
+def _bwd_step_kernel_cp(train, k, f_j, f_j1, z_j, z_j1, dy_j1, pack_j,
+                        pack_j1, w_j, dy_out, sdy, sdyx, dw, db):
+    """Planar cached backward step at j < depth-1 (see row-major twin)."""
+    _zero_at_first(sdy, sdyx, dw, db)
+    a1, mu1, r1 = pack_j1[:, 0:1], pack_j1[:, 2:3], pack_j1[:, 3:4]
+    if train:
+        mdy1, mdyx1 = pack_j1[:, 4:5], pack_j1[:, 5:6]
+        xhat1 = (_f32(z_j1[0]) - mu1) * r1
+        dz1_ = _bf16((_f32(dy_j1[0]) - mdy1 - xhat1 * mdyx1) * a1)
+    else:
+        dz1_ = _bf16(_f32(dy_j1[0]) * a1)
+    a, c, mu, r = (pack_j[:, 0:1], pack_j[:, 1:2], pack_j[:, 2:3],
+                   pack_j[:, 3:4])
+    h_j = jnp.maximum(_bf16(_f32(z_j[0]) * a + c), jnp.bfloat16(0))
+    dh = _bf16(jax.lax.dot_general(
+        _bf16(w_j[:]), dz1_, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    dy_j = jnp.where(_f32(h_j) > 0, dh, jnp.bfloat16(0))
+    dy_out[0] = dy_j
+    xhat_j = (_f32(z_j[0]) - mu) * r
+    dyf = _f32(dy_j)
+    sdy[:] += jnp.sum(dyf, axis=1, keepdims=True)
+    sdyx[:] += jnp.sum(dyf * xhat_j, axis=1, keepdims=True)
+    dw[:] += jax.lax.dot_general(
+        h_j, dz1_, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [F_j, F_{j+1}]
+    db[:] += jnp.sum(_f32(dz1_), axis=1, keepdims=True)
+
+
+def _s_chunk_cp(s, k, f_max):
+    """Planar cached chunk: chain VMEM budget + (s_ch * k) % 128 == 0."""
+    s_ch = _s_chunk(s, k, f_max)
+    while (s_ch * k) % 128 and s_ch > 1:
+        s_ch -= 1
+    while s % s_ch:
+        s_ch -= 1
+    assert (s_ch * k) % 128 == 0, (s, k, s_ch)
+    return s_ch
+
+
+def _call_fwd_step_cp(z_prev, s, k, f_in, f_out, pack, w, b_, f_max,
+                      interpret):
+    b = z_prev.shape[0]
+    s_ch = _s_chunk_cp(s, k, f_max)
+    grid = (b, s // s_ch)
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    packp, bp = jnp.swapaxes(pack, 0, 1), b_[:, None]
+    sspec, sshape = _acc_spec_p((f_out, 1))
+    qspec, qshape = _acc_spec_p((f_out, 1))
+    z_next, sums, sumsq = pl.pallas_call(
+        partial(_fwd_step_kernel_cp, k, f_in, f_out),
+        grid=grid,
+        in_specs=[_planar_spec(s_ch, k, f_in), const(packp), const(w),
+                  const(bp)],
+        out_specs=[_planar_spec(s_ch, k, f_out), sspec, qspec],
+        out_shape=[_planar_struct(b, s, k, f_out), sshape, qshape],
+        interpret=interpret,
+    )(z_prev, packp, w, bp)
+    return z_next, sums[:, 0], sumsq[:, 0]
+
+
+def _call_fwd_pool_cp(z_last, s, k, f, pack, f_max, interpret):
+    b = z_last.shape[0]
+    s_ch = _s_chunk_cp(s, k, f_max)
+    grid = (b, s // s_ch)
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    packp = jnp.swapaxes(pack, 0, 1)
+    return pl.pallas_call(
+        partial(_fwd_pool_kernel_cp, k, f),
+        grid=grid,
+        in_specs=[_planar_spec(s_ch, k, f), const(packp)],
+        out_specs=_vspec((1, s_ch, f), lambda b__, i: (b__, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, f), jnp.bfloat16),
+        interpret=interpret,
+    )(z_last, packp)
+
+
+def _call_bwd_top_cp(train, z_last, s, k, f, pack, pooled, dpooled,
+                     f_max, interpret):
+    b = z_last.shape[0]
+    s_ch = _s_chunk_cp(s, k, f_max)
+    grid = (b, s // s_ch)
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    packp = jnp.swapaxes(pack, 0, 1)
+    pspec = _vspec((1, s_ch, f), lambda b__, i: (b__, i, 0))
+    sspec, sshape = _acc_spec_p((f, 1))
+    qspec, qshape = _acc_spec_p((f, 1))
+    dy, sdy, sdyx = pl.pallas_call(
+        partial(_bwd_top_kernel_cp, train, k, f),
+        grid=grid,
+        in_specs=[_planar_spec(s_ch, k, f), const(packp), pspec, pspec],
+        out_specs=[_planar_spec(s_ch, k, f), sspec, qspec],
+        out_shape=[_planar_struct(b, s, k, f), sshape, qshape],
+        interpret=interpret,
+    )(z_last, packp, pooled, dpooled.astype(jnp.bfloat16))
+    return dy, sdy[None, :, 0], sdyx[None, :, 0]
+
+
+def _call_bwd_step_cp(train, z_j, z_j1, dy_j1, s, k, f_j, f_j1, pack_j,
+                      pack_j1, w_j, f_max, interpret):
+    b = z_j.shape[0]
+    s_ch = _s_chunk_cp(s, k, f_max)
+    grid = (b, s // s_ch)
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    out_specs, out_shapes = [_planar_spec(s_ch, k, f_j)], [
+        _planar_struct(b, s, k, f_j)]
+    for shape in [(f_j, 1), (f_j, 1), w_j.shape, (f_j1, 1)]:
+        sp, sh = _acc_spec_p(shape)
+        out_specs.append(sp)
+        out_shapes.append(sh)
+    packjp = jnp.swapaxes(pack_j, 0, 1)
+    packj1p = jnp.swapaxes(pack_j1, 0, 1)
+    dy, sdy, sdyx, dw, db = pl.pallas_call(
+        partial(_bwd_step_kernel_cp, train, k, f_j, f_j1),
+        grid=grid,
+        in_specs=[_planar_spec(s_ch, k, f_j), _planar_spec(s_ch, k, f_j1),
+                  _planar_spec(s_ch, k, f_j1), const(packjp),
+                  const(packj1p), const(w_j)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(z_j, z_j1, dy_j1, packjp, packj1p, w_j)
+    return dy, sdy[None, :, 0], sdyx[None, :, 0], dw, db[None, :, 0]
+
+
+# ---------------------------------------------------------------------------
 # Planar-layout kernel family (round 3).
 #
 # z tensors stored TRANSPOSED: [B, F, S*K] with the row axis on lanes.
@@ -1109,8 +1305,6 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
     assert depth >= 2, "fused_grouped_chain requires chain depth >= 2"
     assert layout in ("rows", "planar"), layout
     assert schedule in ("recompute", "cached"), schedule
-    assert not (schedule == "cached" and layout == "planar"), \
-        "cached schedule implies row-major z storage"
     b, s, _ = new_xyz.shape
     k = nsample
     f0 = pf.shape[-1]
@@ -1141,12 +1335,14 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
             if d < depth - 1:
                 f_in = gammas[d].shape[0]
                 f_out = gammas[d + 1].shape[0]
-                z_next, sums, sumsq = _call_fwd_step(
+                step = _call_fwd_step_cp if planar else _call_fwd_step
+                z_next, sums, sumsq = step(
                     zs[d], s, k, f_in, f_out, packs[d], ws[d], bs[d],
                     f_max, interpret)
                 zs.append(z_next)
-        pooled = _call_fwd_pool(zs[-1], s, k, gammas[-1].shape[0],
-                                packs[-1], f_max, interpret)
+        pool = _call_fwd_pool_cp if planar else _call_fwd_pool
+        pooled = pool(zs[-1], s, k, gammas[-1].shape[0], packs[-1],
+                      f_max, interpret)
         return pooled, means, variances, tuple(zs), packs
     for d in range(depth):
         if train:
@@ -1235,14 +1431,16 @@ def _fgc_bwd(radius, nsample, eps, train, interpret, layout, schedule,
     dws, dbs = [None] * (depth - 1), [None] * (depth - 1)
     if schedule == "cached":
         fdims = [p_.shape[-1] for p_ in packs]
+        top = _call_bwd_top_cp if planar else _call_bwd_top
+        step = _call_bwd_step_cp if planar else _call_bwd_step
         dy_next = None
         for j in range(depth - 1, -1, -1):
             if j == depth - 1:
-                dy_next, sdy, sdyx = _call_bwd_top(
+                dy_next, sdy, sdyx = top(
                     train, zs[j], s, k, fdims[j], packs[j], pooled,
                     dpooled, f_max, interpret)
             else:
-                dy_next, sdy, sdyx, dws[j], dbs_ = _call_bwd_step(
+                dy_next, sdy, sdyx, dws[j], dbs_ = step(
                     train, zs[j], zs[j + 1], dy_next, s, k, fdims[j],
                     fdims[j + 1], packs[j], packs[j + 1], ws[j], f_max,
                     interpret)
