@@ -28,6 +28,33 @@ def test_draw_scene_bev(tmp_path):
     assert os.path.exists(path) and os.path.getsize(path) > 1000
 
 
+def test_export_html(tmp_path):
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-3, 3, (500, 4)).astype(np.float32)
+    seg = (pts[:, 0] > 0).astype(np.float32)
+    path = viz.export_html(
+        pts,
+        boxes=[{"center": [0, 0, 1], "size": [1, 2, 3], "heading": 0.3,
+                "label": "gt"},
+               {"corners": np.zeros((8, 3)), "color": "#f00"}],
+        seg=seg, path=str(tmp_path / "scene.html"), title="t")
+    html = open(path).read()
+    # Self-contained: data embedded, no external references.
+    assert "const DATA" in html and "http" not in html.split("<body>")[1]
+    assert html.count('"corners"') == 2
+    assert "#ff7043" in html  # seg coloring applied
+
+
+def test_export_html_subsamples(tmp_path):
+    pts = np.zeros((1000, 3), np.float32)
+    path = viz.export_html(pts, path=str(tmp_path / "s.html"),
+                           max_points=100)
+    import json as _json
+    data = _json.loads(open(path).read().split("const DATA = ")[1]
+                       .split(";\n")[0])
+    assert len(data["points"]) == 100
+
+
 def test_step_timer():
     t = profiling.StepTimer(warmup=2)
     for _ in range(10):
