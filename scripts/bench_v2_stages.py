@@ -98,8 +98,8 @@ def main():
                                                     dtype=DTYPE),
                           x1024, x128, f(1024, 4), f(128, 128))
 
-    print(f"{'TOTAL':14s}         {total:8.3f} ms  (full v2 train step "
-          f"measured ~76 ms)")
+    print(f"{'TOTAL':14s}         {total:8.3f} ms  (compare against the "
+          f"full-step wall time from T3D_MODEL=v2 bench.py)")
 
 
 if __name__ == "__main__":

@@ -140,17 +140,50 @@ def test_train_grads_match_with_exact_stats(layout, schedule):
     gn = jax.grad(lambda a: jnp.sum(fused_sa.fused_grouped_chain(
         cent, xyz, *a, R, K, EPS, True, None, True, layout, schedule)[0].astype(
             jnp.float32)))(args)
+    _assert_grads_close(gr, gn)
+
+
+def _assert_grads_close(gr, gn, rel_tol=0.02):
+    """Train-mode gradient comparison. Dense biases under train-mode BN
+    have ANALYTICALLY ZERO gradients (Sum dz = a*(Sum dy - M*mdy -
+    mdyx*Sum xhat) = 0 by the batch-stat identities); both sides
+    compute pure rounding noise there, so their ratio is meaningless —
+    assert absolute noise-level smallness against the real-gradient
+    scale instead."""
     names = ["pf", "qc", "gammas", "betas", "ws", "bs"]
+    scale = max(float(np.linalg.norm(np.asarray(x, np.float32)))
+                for x in jax.tree_util.tree_leaves(gr[4]))  # ws grads
     for nm, a, b in zip(names, gr, gn):
         for x, y in zip(jax.tree_util.tree_leaves(a),
                         jax.tree_util.tree_leaves(b)):
             x = np.asarray(x, np.float32)
             y = np.asarray(y, np.float32)
+            if nm == "bs":
+                assert np.linalg.norm(y) < 0.01 * scale, (
+                    nm, np.linalg.norm(y), scale)
+                continue
             rel = np.linalg.norm(x - y) / max(1e-6, np.linalg.norm(x))
-            # Dense biases under train-mode BN have analytically zero
-            # gradients; both sides compute noise-level values there.
-            tol = 0.1 if nm == "bs" else 0.02
-            assert rel < tol, (nm, rel)
+            assert rel < rel_tol, (nm, rel)
+
+
+@pytest.mark.parametrize("layout", ["rows", "planar"])
+def test_depth2_cached_grads(layout):
+    """Depth-2 chains hit the cached schedule's fused j=0 step in its
+    at_top form (rows: the pool grad is recomputed in the same pass
+    that scatters d_payload); keep that edge covered."""
+    global FEATS, L
+    feats_save, l_save = FEATS, L
+    FEATS, L = (F0, 24), 2
+    try:
+        cent, xyz, args = _setup(7, integer_data=True)
+        gr = jax.grad(lambda a: jnp.sum(
+            _ref(cent, xyz, a, folded=True)[0].astype(jnp.float32)))(args)
+        gn = jax.grad(lambda a: jnp.sum(fused_sa.fused_grouped_chain(
+            cent, xyz, *a, R, K, EPS, True, None, True, layout,
+            "cached")[0].astype(jnp.float32)))(args)
+        _assert_grads_close(gr, gn)
+    finally:
+        FEATS, L = feats_save, l_save
 
 
 @pytest.mark.parametrize("layout,schedule", MODES)

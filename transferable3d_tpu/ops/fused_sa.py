@@ -50,9 +50,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from transferable3d_tpu.ops.grouping import _tri
 
-_CHAIN_ROWS = 4096  # target rows (s_chunk * K) per chain-pass tile
+# Target rows (s_chunk * K) per chain-pass tile / MB budget for the
+# one-hot build in extraction-style passes. Env-tunable for sweeps
+# (read at trace time).
+_CHAIN_ROWS = int(os.environ.get("T3D_SA_CHAIN_ROWS", "4096"))
+_EXTRACT_MB = int(os.environ.get("T3D_SA_EXTRACT_MB", "8"))
+# Planar top-layer backward: "fused" derives the top BN-stat sums in an
+# XLA epilogue from the pool pass's pre-relu segment max (no top pass,
+# no stored dy_{L-1}; the j = depth-2 step redoes the pool grad);
+# "store" keeps the round-3 kernel top pass. Rows always fuses (its z
+# extrema come free from the last fwd step).
+_PLANAR_TOP = os.environ.get("T3D_PLANAR_TOP", "fused")
 
 # Test hook: models.pointnet2 passes this as the interpret flag so CPU
 # tests can exercise the fused module path (see tests/test_fused_sa.py).
@@ -350,8 +362,9 @@ def _s_chunk(s, k, f_max):
 
 def _s_chunk_extract(s, k, n):
     """s-chunk for extraction passes: the [S_ch, K, N] one-hot build
-    (f32 compare + bf16 copy, ~6 B/element transient) must fit ~8 MB."""
-    return _div_chunk(s, max(1, (8 << 20) // (k * n * 6)))
+    (f32 compare + bf16 copy, ~6 B/element transient) must fit the
+    _EXTRACT_MB budget."""
+    return _div_chunk(s, max(1, (_EXTRACT_MB << 20) // (k * n * 6)))
 
 
 def _flat_struct(b, s, k, f0):
@@ -515,14 +528,24 @@ def _call_bwd_dz1(cent, xyz, z1, dy0, s, k, f0, pack0, radius, nsample,
 # are COMPUTE-bound on v5e (halving HBM bytes barely moved pass times),
 # so the FLOPs are the cost that matters. This schedule instead stores
 # every layer's bf16 preactivation z_i in HBM:
-#   forward:  extract(z_0 + stats_0) -> step_1 .. step_{L-1} -> pool
+#   forward:  extract(z_0 + stats_0) -> step_1 .. step_{L-1}
 #             (step_d reads z_{d-1}, applies pack_{d-1} + Dense_{d-1},
-#              WRITES z_d, accumulates stats_d: each dot runs ONCE)
-#   backward: top (pool grad + relu mask at L-1, writes dy_{L-1})
-#             -> step_j for j = L-2..0 (reads z_j, z_{j+1}, dy_{j+1};
+#              WRITES z_d, accumulates stats_d: each dot runs ONCE; the
+#              last rows step also emits per-centroid z extrema so
+#              `pooled` is an XLA epilogue — planar keeps a pool pass,
+#              where the segment-max rolls outprice the saved stream)
+#   backward: top (BN-stat sums of layer L-1; rows: stats-only, the
+#             next step recomputes the pool grad; planar: also writes
+#             dy_{L-1})
+#             -> step_j for j = L-2..1 (reads z_j, z_{j+1}, dy_{j+1};
 #                computes dz_{j+1} with the now-final mdy/mdyx rows,
 #                one cascade dot dz_{j+1} W_j^T + the dW_j dot; writes
-#                dy_j) -> dz1 pass (unchanged, consumes dy_0)
+#                dy_j)
+#             -> step_0 FUSED with the dz1/d_payload scatter: dy_0
+#                never reaches HBM; the pass emits onehot^T dy_0 and
+#                the slot-multiplicity reductions, and an XLA epilogue
+#                assembles d_payload / d_qc once this pass's own BN
+#                statistics are known (see _bwd_step0_kernel).
 # No forward chain dot is ever replayed; each pass streams at most
 # three [rows, F] tensors. Extra HBM vs recompute: z_1..z_{L-1} written
 # once + read once or twice — bytes the compute-bound passes can hide.
@@ -551,45 +574,92 @@ def _fwd_pool_kernel(k, f, z_last, pack, pooled):
     pooled[0] = jnp.max(h.reshape(s_ch, k, f), axis=1)
 
 
-def _bwd_top_kernel(train, k, f, z_last, pack, pooled, dpooled, dy_out,
-                    sdy, sdyx):
-    """Backward entry at j = depth-1: max-pool gradient (jnp tie split)
-    + relu mask; writes dy_{L-1} and accumulates its BN-stat sums."""
-    _zero_at_first(sdy, sdyx)
-    tile, s_ch = _rows(z_last[0], f, k)
-    a, c, mu, r = (pack[0:1, :], pack[1:2, :], pack[2:3, :], pack[3:4, :])
+def _fwd_last_kernel(k, f_in, f_out, z_prev, pack, w, b, z_next, sums,
+                     sumsq, zmax, zmin):
+    """Last cached fwd step (rows): _fwd_step_kernel + per-centroid
+    max/min of z_d over the group axis, so the pool pass (a full read
+    of the widest z tensor) is replaced by an XLA epilogue:
+    pooled = relu(bf16(a*zsel + c)) with zsel = zmax where a > 0 else
+    zmin — exact, because bf16 rounding is monotone and the affine map
+    is monotone in z per channel, so max_k bf16(a*z_k + c) ==
+    bf16(a*(max_k z_k) + c) (min for a < 0; a == 0 gives bf16(c)
+    either way)."""
+    _zero_at_first(sums, sumsq)
+    tile, s_ch = _rows(z_prev[0], f_in, k)
+    a, c = pack[0:1, :], pack[1:2, :]
     h = jnp.maximum(_bf16(_f32(tile) * a + c), jnp.bfloat16(0))
+    z = _bf16(jnp.dot(h, _bf16(w[:]), preferred_element_type=jnp.float32)
+              + b[:])
+    z_next[0] = z.reshape(s_ch, k, f_out)
+    zf = _f32(z)
+    zf3 = zf.reshape(s_ch, k, f_out)
+    zmax[0] = jnp.max(zf3, axis=1)
+    zmin[0] = jnp.min(zf3, axis=1)
+    sums[:] += jnp.sum(zf, axis=0, keepdims=True)
+    sumsq[:] += jnp.sum(zf * zf, axis=0, keepdims=True)
+
+
+def _top_dy_rows(h, pooled, dpooled, k, s_ch, f):
+    """Max-pool gradient + relu mask at the top layer (row tiles): each
+    s is complete within one tile, so ties are counted in-kernel."""
     pooled_rows = _expand_rows(pooled, k)
     eq = jnp.where(_f32(h) == pooled_rows, 1.0, 0.0)
     ties_rows = jnp.repeat(jnp.sum(eq.reshape(s_ch, k, f), axis=1), k,
                            axis=0)
     dh = _bf16(_f32(_expand_rows(dpooled, k)) * eq
                / jnp.maximum(ties_rows, 1.0))
-    dy = jnp.where(_f32(h) > 0, dh, jnp.bfloat16(0))
-    dy_out[0] = dy.reshape(s_ch, k, f)
+    return jnp.where(_f32(h) > 0, dh, jnp.bfloat16(0))
+
+
+def _bwd_top_kernel(train, k, f, z_last, pack, pooled, dpooled, sdy,
+                    sdyx):
+    """Backward entry at j = depth-1, STATS ONLY: dy_{L-1} is never
+    stored — the j = depth-2 step recomputes it from z_{L-1} (one VPU
+    pool-grad redo saves a write + read of the widest dy tensor)."""
+    _zero_at_first(sdy, sdyx)
+    tile, s_ch = _rows(z_last[0], f, k)
+    a, c, mu, r = (pack[0:1, :], pack[1:2, :], pack[2:3, :], pack[3:4, :])
+    h = jnp.maximum(_bf16(_f32(tile) * a + c), jnp.bfloat16(0))
+    dy = _top_dy_rows(h, pooled, dpooled, k, s_ch, f)
     xhat = (_f32(tile) - mu) * r
     dyf = _f32(dy)
     sdy[:] += jnp.sum(dyf, axis=0, keepdims=True)
     sdyx[:] += jnp.sum(dyf * xhat, axis=0, keepdims=True)
 
 
-def _bwd_step_kernel(train, k, f_j, f_j1, z_j, z_j1, dy_j1, pack_j,
-                     pack_j1, w_j, dy_out, sdy, sdyx, dw, db):
-    """Backward step at layer j < depth-1: BN backward of the cached
-    dy_{j+1} (pack_{j+1} rows 4/5 must be final), one cascade dot
-    through W_j, relu mask from the cached z_j; accumulates dW_j, db_j
-    and layer j's BN-stat sums; writes dy_j."""
-    _zero_at_first(sdy, sdyx, dw, db)
-    tile_j, s_ch = _rows(z_j[0], f_j, k)
-    tile_j1, _ = _rows(z_j1[0], f_j1, k)
-    dy1_rows, _ = _rows(dy_j1[0], f_j1, k)
+def _step_dz_rows(train, top, k, f_j1, ins, pack_j1, s_ch):
+    """dz_{j+1} rows for a cached bwd step: BN backward of dy_{j+1}
+    (pack_{j+1} rows 4/5 must be final). top=True: dy_{j+1} is
+    RECOMPUTED from z_{j+1} + pooled/dpooled instead of read from HBM —
+    the stats-only top pass never stored it (saves a write + read of
+    the widest dy tensor for one in-VMEM pool-grad redo)."""
+    tile_j1, _ = _rows(ins[1][0], f_j1, k)
     a1, mu1, r1 = pack_j1[0:1, :], pack_j1[2:3, :], pack_j1[3:4, :]
+    if top:
+        pooled, dpooled = ins[2], ins[3]
+        c1 = pack_j1[1:2, :]
+        h1 = jnp.maximum(_bf16(_f32(tile_j1) * a1 + c1), jnp.bfloat16(0))
+        dy1_rows = _top_dy_rows(h1, pooled, dpooled, k, s_ch, f_j1)
+    else:
+        dy1_rows, _ = _rows(ins[2][0], f_j1, k)
     if train:
         mdy1, mdyx1 = pack_j1[4:5, :], pack_j1[5:6, :]
         xhat1 = (_f32(tile_j1) - mu1) * r1
-        dz1_ = _bf16((_f32(dy1_rows) - mdy1 - xhat1 * mdyx1) * a1)
-    else:
-        dz1_ = _bf16(_f32(dy1_rows) * a1)
+        return _bf16((_f32(dy1_rows) - mdy1 - xhat1 * mdyx1) * a1)
+    return _bf16(_f32(dy1_rows) * a1)
+
+
+def _bwd_step_kernel(train, top, k, f_j, f_j1, *refs):
+    """Backward step at layer 0 < j < depth-1: BN backward of dy_{j+1}
+    (see _step_dz_rows), one cascade dot through W_j, relu mask from
+    the cached z_j; accumulates dW_j, db_j and layer j's BN-stat sums;
+    writes dy_j."""
+    (ins, (pack_j, pack_j1, w_j),
+     (dy_out, sdy, sdyx, dw, db)) = _split(refs, 4 if top else 3, 3, 5)
+    z_j = ins[0]
+    _zero_at_first(sdy, sdyx, dw, db)
+    tile_j, s_ch = _rows(z_j[0], f_j, k)
+    dz1_ = _step_dz_rows(train, top, k, f_j1, ins, pack_j1, s_ch)
     a, c, mu, r = (pack_j[0:1, :], pack_j[1:2, :], pack_j[2:3, :],
                    pack_j[3:4, :])
     h_j = jnp.maximum(_bf16(_f32(tile_j) * a + c), jnp.bfloat16(0))
@@ -605,6 +675,87 @@ def _bwd_step_kernel(train, k, f_j, f_j1, z_j, z_j1, dy_j1, pack_j,
         h_j, dz1_, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     db[:] += jnp.sum(_f32(dz1_), axis=0, keepdims=True)
+
+
+def _mult_tile(oh, s_ch, k):
+    """Slot multiplicity M [S_ch, N] f32: how many of the K cyclic
+    slots of centroid s select point n (= onehot summed over slots,
+    via a segment-sum dot; counts <= K are exact)."""
+    return jax.lax.dot_general(
+        _rep_matrix(s_ch, k), oh,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _bwd_step0_kernel(train, top, r2, k, f_j, f_j1, *refs):
+    """Cached backward step at j = 0, FUSED with the dz1/d_payload
+    pass: dy_0 is never stored. Instead of dy_out this pass emits the
+    reductions an XLA epilogue combines into d_payload / d_qc once its
+    own BN statistics (mdy_0 = Sum dy_0 / M, mdyx_0) are known:
+
+      dz_1 = a0 (dy_0 - mdy_0 - xhat_0 mdyx_0)
+      dpf  = onehot^T dz_1
+           = a0 (H - cnt mdy_0) - a0 mdyx_0 r0 (cnt pf - Mq - cnt mu_0)
+      dqc  = -Sum_k dz_1
+           = -a0 (Sdy - K mdy_0 - mdyx_0 r0 (Sz - K mu_0))
+
+    with H = onehot^T dy_0, cnt = onehot^T 1, Mq = M^T qc,
+    Sdy = Sum_k dy_0, Sz = Sum_k z_1, using
+    onehot^T z_1 = cnt*pf - M^T qc. That identity is exact up to z_1's
+    stored bf16-subtraction rounding (well inside the train-grad
+    tolerance; the eval-mode backward has no correction terms and uses
+    only H/Sdy). Saves the dy_0 stream (write + read) and the retired
+    dz1 pass's z_1 re-read; the one-hot build + transpose dot move
+    here unchanged."""
+    (ins, (ct, pt, tri, qc_t), (pack_j, pack_j1, w_j),
+     (sdy, sdyx, dw, db, h_out, mq_out, cnt_out, sdy_s, sz_s),
+     (acc_h, acc_mq, acc_cnt)) = _split(
+         refs, 4 if top else 3, 4, 3, 9, 3)
+    z_j = ins[0]
+    _zero_at_first(sdy, sdyx, dw, db)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_h[:] = jnp.zeros_like(acc_h)
+        acc_mq[:] = jnp.zeros_like(acc_mq)
+        acc_cnt[:] = jnp.zeros_like(acc_cnt)
+
+    tile_j, s_ch = _rows(z_j[0], f_j, k)
+    dz1_ = _step_dz_rows(train, top, k, f_j1, ins, pack_j1, s_ch)
+    a, c, mu, r = (pack_j[0:1, :], pack_j[1:2, :], pack_j[2:3, :],
+                   pack_j[3:4, :])
+    h_j = jnp.maximum(_bf16(_f32(tile_j) * a + c), jnp.bfloat16(0))
+    dh = _bf16(jnp.dot(dz1_, _bf16(w_j[:]).T,
+                       preferred_element_type=jnp.float32))
+    dy_j = jnp.where(_f32(h_j) > 0, dh, jnp.bfloat16(0))
+    xhat_j = (_f32(tile_j) - mu) * r
+    dyf = _f32(dy_j)
+    sdy[:] += jnp.sum(dyf, axis=0, keepdims=True)
+    sdyx[:] += jnp.sum(dyf * xhat_j, axis=0, keepdims=True)
+    dw[:] += jax.lax.dot_general(
+        h_j, dz1_, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db[:] += jnp.sum(_f32(dz1_), axis=0, keepdims=True)
+
+    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
+    acc_h[:] += jax.lax.dot_general(
+        oh, dy_j, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [N, F0]
+    mm = _mult_tile(oh, s_ch, k)                       # [S_ch, N]
+    acc_cnt[:] += jnp.sum(mm, axis=0, keepdims=True)
+    acc_mq[:] += jax.lax.dot_general(
+        _bf16(mm), qc_t[0], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [N, F0]
+    sdy_s[0] = jnp.sum(dyf.reshape(s_ch, k, f_j), axis=1)
+    sz_s[0] = jnp.sum(_f32(tile_j).reshape(s_ch, k, f_j), axis=1)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        h_out[0] = acc_h[:]
+        mq_out[0] = acc_mq[:]
+        cnt_out[0] = acc_cnt[:]
 
 
 def _cached_grid(z_prev, s, k, f_max):
@@ -633,6 +784,43 @@ def _call_fwd_step(z_prev, s, k, f_in, f_out, pack, w, b_, f_max,
     return z_next, sums[0], sumsq[0]
 
 
+def _call_fwd_last(z_prev, s, k, f_in, f_out, pack, w, b_, f_max,
+                   interpret):
+    """_call_fwd_step for the final chain layer: also returns f32
+    [B, S, F_out] zmax/zmin for the XLA pool epilogue."""
+    b = z_prev.shape[0]
+    grid, s_ch = _cached_grid(z_prev, s, k, f_max)
+    sspec, sshape = _acc_spec((1, f_out))
+    qspec, qshape = _acc_spec((1, f_out))
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    mspec = _vspec((1, s_ch, f_out), lambda b__, i: (b__, i, 0))
+    mshape = jax.ShapeDtypeStruct((b, s, f_out), jnp.float32)
+    z_next, sums, sumsq, zmax, zmin = pl.pallas_call(
+        partial(_fwd_last_kernel, k, f_in, f_out),
+        grid=grid,
+        in_specs=[_flat_spec(s_ch, k, f_in), const(pack), const(w),
+                  const(b_)],
+        out_specs=[_flat_spec(s_ch, k, f_out), sspec, qspec, mspec,
+                   mspec],
+        out_shape=[_flat_struct(b, s, k, f_out), sshape, qshape,
+                   mshape, mshape],
+        interpret=interpret,
+    )(z_prev, pack, w, b_)
+    return z_next, sums[0], sumsq[0], zmax, zmin
+
+
+def _pool_epilogue(zmax, zmin, pack):
+    """pooled from the last fwd step's z extrema (see _fwd_last_kernel).
+
+    Uses the same fused a/c rows the bwd kernels read, so the result
+    bit-matches the retired pool pass (and the kernels' h == pooled
+    comparisons)."""
+    a, c = pack[0], pack[1]
+    ysel = jnp.where(a > 0, a * zmax + c, a * zmin + c)
+    return jnp.maximum(ysel.astype(jnp.bfloat16), jnp.bfloat16(0))
+
+
 def _call_fwd_pool(z_last, s, k, f, pack, f_max, interpret):
     b = z_last.shape[0]
     grid, s_ch = _cached_grid(z_last, s, k, f_max)
@@ -650,7 +838,6 @@ def _call_fwd_pool(z_last, s, k, f, pack, f_max, interpret):
 
 def _call_bwd_top(train, z_last, s, k, f, pack, pooled, dpooled, f_max,
                   interpret):
-    b = z_last.shape[0]
     grid, s_ch = _cached_grid(z_last, s, k, f_max)
     const = lambda a: _vspec(a.shape,
                              lambda b__, i: tuple(0 for _ in a.shape))
@@ -661,18 +848,28 @@ def _call_bwd_top(train, z_last, s, k, f, pack, pooled, dpooled, f_max,
         partial(_bwd_top_kernel, train, k, f),
         grid=grid,
         in_specs=[_flat_spec(s_ch, k, f), const(pack), pspec, pspec],
-        out_specs=[_flat_spec(s_ch, k, f), sspec, qspec],
-        out_shape=[_flat_struct(b, s, k, f), sshape, qshape],
+        out_specs=[sspec, qspec],
+        out_shape=[sshape, qshape],
         interpret=interpret,
     )(z_last, pack, pooled, dpooled.astype(jnp.bfloat16))
 
 
-def _call_bwd_step(train, z_j, z_j1, dy_j1, s, k, f_j, f_j1, pack_j,
-                   pack_j1, w_j, f_max, interpret):
+def _call_bwd_step(train, top, z_j, z_j1, dy_src, s, k, f_j, f_j1,
+                   pack_j, pack_j1, w_j, f_max, interpret):
+    """top=False: dy_src is the stored dy_{j+1} [B,S,K,F_j1].
+    top=True: dy_src is (pooled, dpooled) [B,S,F_j1] each."""
     b = z_j.shape[0]
     grid, s_ch = _cached_grid(z_j, s, k, f_max)
     const = lambda a: _vspec(a.shape,
                              lambda b__, i: tuple(0 for _ in a.shape))
+    if top:
+        pooled, dpooled = dy_src
+        pspec = _vspec((1, s_ch, f_j1), lambda b__, i: (b__, i, 0))
+        extra_specs = [pspec, pspec]
+        extra_ins = (pooled, dpooled.astype(jnp.bfloat16))
+    else:
+        extra_specs = [_flat_spec(s_ch, k, f_j1)]
+        extra_ins = (dy_src,)
     out_specs, out_shapes = [_flat_spec(s_ch, k, f_j)], [
         _flat_struct(b, s, k, f_j)]
     for shape in [(1, f_j), (1, f_j), w_j.shape, (1, f_j1)]:
@@ -680,15 +877,68 @@ def _call_bwd_step(train, z_j, z_j1, dy_j1, s, k, f_j, f_j1, pack_j,
         out_specs.append(sp)
         out_shapes.append(sh)
     return pl.pallas_call(
-        partial(_bwd_step_kernel, train, k, f_j, f_j1),
+        partial(_bwd_step_kernel, train, top, k, f_j, f_j1),
         grid=grid,
-        in_specs=[_flat_spec(s_ch, k, f_j), _flat_spec(s_ch, k, f_j1),
-                  _flat_spec(s_ch, k, f_j1), const(pack_j),
-                  const(pack_j1), const(w_j)],
+        in_specs=[_flat_spec(s_ch, k, f_j), _flat_spec(s_ch, k, f_j1)]
+        + extra_specs + [const(pack_j), const(pack_j1), const(w_j)],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(z_j, z_j1, dy_j1, pack_j, pack_j1, w_j)
+    )(z_j, z_j1, *extra_ins, pack_j, pack_j1, w_j)
+
+
+def _call_bwd_step0(train, top, z_j, z_j1, dy_src, cent, xyz, qc, s, k,
+                    f_j, f_j1, pack_j, pack_j1, w_j, radius, interpret):
+    """j = 0 cached bwd step fused with the dz1 pass (rows). Returns
+    (sdy, sdyx, dw, db, H [B,N,F0], Mq [B,N,F0], cnt [B,1,N],
+    Sdy [B,S,F0], Sz [B,S,F0]); see _bwd_step0_kernel."""
+    b = z_j.shape[0]
+    n = xyz.shape[1]
+    s_ch = _s_chunk_extract(s, k, n)
+    grid = (b, s // s_ch)
+    pt = jnp.swapaxes(xyz, 1, 2)
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    if top:
+        pooled, dpooled = dy_src
+        pspec = _vspec((1, s_ch, f_j1), lambda b__, i: (b__, i, 0))
+        extra_specs = [pspec, pspec]
+        extra_ins = (pooled, dpooled.astype(jnp.bfloat16))
+    else:
+        extra_specs = [_flat_spec(s_ch, k, f_j1)]
+        extra_ins = (dy_src,)
+    sspec = _vspec((1, s_ch, f_j), lambda b__, i: (b__, i, 0))
+    out_specs, out_shapes = [], []
+    for shape in [(1, f_j), (1, f_j), w_j.shape, (1, f_j1)]:
+        sp, sh = _acc_spec(shape)
+        out_specs.append(sp)
+        out_shapes.append(sh)
+    perb = lambda shp: (_vspec((1,) + shp, lambda b__, i: (b__,)
+                               + tuple(0 for _ in shp)),
+                        jax.ShapeDtypeStruct((b,) + shp, jnp.float32))
+    for shp in [(n, f_j), (n, f_j), (1, n)]:
+        sp, sh = perb(shp)
+        out_specs.append(sp)
+        out_shapes.append(sh)
+    out_specs += [sspec, sspec]
+    out_shapes += [jax.ShapeDtypeStruct((b, s, f_j), jnp.float32)] * 2
+    return pl.pallas_call(
+        partial(_bwd_step0_kernel, train, top, radius * radius, k, f_j,
+                f_j1),
+        grid=grid,
+        in_specs=[_flat_spec(s_ch, k, f_j), _flat_spec(s_ch, k, f_j1)]
+        + extra_specs
+        + _geo_specs(s_ch, n)
+        + [_vspec((1, s_ch, f_j), lambda b__, i: (b__, i, 0))]
+        + [const(pack_j), const(pack_j1), const(w_j)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((n, f_j), jnp.float32),
+                        pltpu.VMEM((n, f_j), jnp.float32),
+                        pltpu.VMEM((1, n), jnp.float32)],
+        interpret=interpret,
+    )(z_j, z_j1, *extra_ins, cent, pt, _tri(n), _bf16(qc), pack_j,
+      pack_j1, w_j)
 
 
 # ---------------------------------------------------------------------------
@@ -734,14 +984,38 @@ def _fwd_pool_kernel_cp(k, f, z_last, pack, pooled):
         preferred_element_type=jnp.float32).astype(pooled.dtype)
 
 
-def _bwd_top_kernel_cp(train, k, f, z_last, pack, pooled, dpooled,
-                       dy_out, sdy, sdyx):
-    """Planar cached backward entry at j = depth-1 (ties in-kernel)."""
-    _zero_at_first(sdy, sdyx)
-    s_ch = pooled.shape[1]
-    a, c, mu, r = (pack[:, 0:1], pack[:, 1:2], pack[:, 2:3],
-                   pack[:, 3:4])
-    h = jnp.maximum(_bf16(_f32(z_last[0]) * a + c), jnp.bfloat16(0))
+def _fwd_pool_ymax_kernel_cp(k, f, z_last, pack, pooled, ymax):
+    """Pool variant for the fused planar top: one segment max over the
+    PRE-relu, PRE-rounding y = f32(z)*a + c yields both
+      pooled = relu(bf16(max y))   — EXACT (monotone rounding: equals
+                                     max over relu(bf16(y)); the bwd
+                                     kernels' h == pooled tests rely
+                                     on bit-exactness), and
+      ymax   = max y (unrounded)   — near-exact, for the XLA top-stat
+                                     epilogue's z recovery (ymax-c)/a.
+    The selection dot's operands round to bf16 on the MXU, so ym
+    crosses it as an exact hi + lo pair (reduce_precision split, see
+    core/numerics.exact_hi_lo): pooled comes from the hi part alone
+    (= bf16(ym), exactly representable), ymax from hi + lo."""
+    s_ch = ymax.shape[1]
+    a, c = pack[:, 0:1], pack[:, 1:2]
+    y = _f32(z_last[0]) * a + c
+    ym = _seg_max_lanes(y, k)
+    hi = jax.lax.reduce_precision(ym, exponent_bits=8, mantissa_bits=7)
+    lo = jax.lax.reduce_precision(ym - hi, exponent_bits=8,
+                                  mantissa_bits=7)
+    sel = _sel_matrix(s_ch, k)
+    dims = (((1,), (1,)), ((), ()))
+    phi = jax.lax.dot_general(sel, hi, dimension_numbers=dims,
+                              preferred_element_type=jnp.float32)
+    plo = jax.lax.dot_general(sel, lo, dimension_numbers=dims,
+                              preferred_element_type=jnp.float32)
+    pooled[0] = jnp.maximum(phi.astype(jnp.bfloat16), jnp.bfloat16(0))
+    ymax[0] = phi + plo
+
+
+def _top_dy_cols(h, pooled, dpooled, k, s_ch):
+    """Planar twin of _top_dy_rows (ties via the segment-sum dot)."""
     pooled_rep = _rep_cols(pooled, s_ch, k)
     eq = jnp.where(_f32(h) == pooled_rep, 1.0, 0.0)
     ties_tile = jax.lax.dot_general(
@@ -750,7 +1024,21 @@ def _bwd_top_kernel_cp(train, k, f, z_last, pack, pooled, dpooled,
         preferred_element_type=jnp.float32)            # [S_ch, F]
     dh = _bf16(_rep_cols(dpooled, s_ch, k) * eq
                / jnp.maximum(_rep_cols_arr(ties_tile, k), 1.0))
-    dy = jnp.where(_f32(h) > 0, dh, jnp.bfloat16(0))
+    return jnp.where(_f32(h) > 0, dh, jnp.bfloat16(0))
+
+
+def _bwd_top_kernel_cp(train, k, f, z_last, pack, pooled, dpooled,
+                       dy_out, sdy, sdyx):
+    """Planar cached backward entry at j = depth-1. Unlike the
+    row-major twin this DOES store dy_{L-1}: the planar pool-grad redo
+    (replication + segment-sum dots) costs more than the saved dense
+    stream (seg-SA1 37.5 -> 39.2 ms measured with the skip)."""
+    _zero_at_first(sdy, sdyx)
+    s_ch = pooled.shape[1]
+    a, c, mu, r = (pack[:, 0:1], pack[:, 1:2], pack[:, 2:3],
+                   pack[:, 3:4])
+    h = jnp.maximum(_bf16(_f32(z_last[0]) * a + c), jnp.bfloat16(0))
+    dy = _top_dy_cols(h, pooled, dpooled, k, s_ch)
     dy_out[0] = dy
     xhat = (_f32(z_last[0]) - mu) * r
     dyf = _f32(dy)
@@ -758,17 +1046,31 @@ def _bwd_top_kernel_cp(train, k, f, z_last, pack, pooled, dpooled,
     sdyx[:] += jnp.sum(dyf * xhat, axis=1, keepdims=True)
 
 
-def _bwd_step_kernel_cp(train, k, f_j, f_j1, z_j, z_j1, dy_j1, pack_j,
-                        pack_j1, w_j, dy_out, sdy, sdyx, dw, db):
-    """Planar cached backward step at j < depth-1 (see row-major twin)."""
-    _zero_at_first(sdy, sdyx, dw, db)
+def _step_dz_cols(train, top, k, ins, pack_j1):
+    """Planar twin of _step_dz_rows."""
+    z_j1 = ins[1]
     a1, mu1, r1 = pack_j1[:, 0:1], pack_j1[:, 2:3], pack_j1[:, 3:4]
+    if top:
+        pooled, dpooled = ins[2], ins[3]
+        c1 = pack_j1[:, 1:2]
+        h1 = jnp.maximum(_bf16(_f32(z_j1[0]) * a1 + c1), jnp.bfloat16(0))
+        dy1_cols = _top_dy_cols(h1, pooled, dpooled, k, pooled.shape[1])
+    else:
+        dy1_cols = ins[2][0]
     if train:
         mdy1, mdyx1 = pack_j1[:, 4:5], pack_j1[:, 5:6]
         xhat1 = (_f32(z_j1[0]) - mu1) * r1
-        dz1_ = _bf16((_f32(dy_j1[0]) - mdy1 - xhat1 * mdyx1) * a1)
-    else:
-        dz1_ = _bf16(_f32(dy_j1[0]) * a1)
+        return _bf16((_f32(dy1_cols) - mdy1 - xhat1 * mdyx1) * a1)
+    return _bf16(_f32(dy1_cols) * a1)
+
+
+def _bwd_step_kernel_cp(train, top, k, f_j, f_j1, *refs):
+    """Planar cached backward step at j < depth-1 (see row-major twin)."""
+    (ins, (pack_j, pack_j1, w_j),
+     (dy_out, sdy, sdyx, dw, db)) = _split(refs, 4 if top else 3, 3, 5)
+    z_j = ins[0]
+    _zero_at_first(sdy, sdyx, dw, db)
+    dz1_ = _step_dz_cols(train, top, k, ins, pack_j1)
     a, c, mu, r = (pack_j[:, 0:1], pack_j[:, 1:2], pack_j[:, 2:3],
                    pack_j[:, 3:4])
     h_j = jnp.maximum(_bf16(_f32(z_j[0]) * a + c), jnp.bfloat16(0))
@@ -785,6 +1087,66 @@ def _bwd_step_kernel_cp(train, k, f_j, f_j1, z_j, z_j1, dy_j1, pack_j,
         h_j, dz1_, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # [F_j, F_{j+1}]
     db[:] += jnp.sum(_f32(dz1_), axis=1, keepdims=True)
+
+
+def _bwd_step0_kernel_cp(train, top, r2, k, f_j, f_j1, *refs):
+    """Planar twin of _bwd_step0_kernel (j = 0 step fused with the dz1
+    pass); accumulator orientation is [F, 1] / lane reductions."""
+    (ins, (ct, pt, tri, qc_t), (pack_j, pack_j1, w_j),
+     (sdy, sdyx, dw, db, h_out, mq_out, cnt_out, sdy_s, sz_s),
+     (acc_h, acc_mq, acc_cnt)) = _split(
+         refs, 4 if top else 3, 4, 3, 9, 3)
+    z_j = ins[0]
+    _zero_at_first(sdy, sdyx, dw, db)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_h[:] = jnp.zeros_like(acc_h)
+        acc_mq[:] = jnp.zeros_like(acc_mq)
+        acc_cnt[:] = jnp.zeros_like(acc_cnt)
+
+    s_ch = ct.shape[1]
+    dz1_ = _step_dz_cols(train, top, k, ins, pack_j1)
+    a, c, mu, r = (pack_j[:, 0:1], pack_j[:, 1:2], pack_j[:, 2:3],
+                   pack_j[:, 3:4])
+    h_j = jnp.maximum(_bf16(_f32(z_j[0]) * a + c), jnp.bfloat16(0))
+    dh = _bf16(jax.lax.dot_general(
+        _bf16(w_j[:]), dz1_, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    dy_j = jnp.where(_f32(h_j) > 0, dh, jnp.bfloat16(0))
+    xhat_j = (_f32(z_j[0]) - mu) * r
+    dyf = _f32(dy_j)
+    sdy[:] += jnp.sum(dyf, axis=1, keepdims=True)
+    sdyx[:] += jnp.sum(dyf * xhat_j, axis=1, keepdims=True)
+    dw[:] += jax.lax.dot_general(
+        h_j, dz1_, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db[:] += jnp.sum(_f32(dz1_), axis=1, keepdims=True)
+
+    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
+    acc_h[:] += jax.lax.dot_general(
+        oh, dy_j, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [N, F0]
+    mm = _mult_tile(oh, s_ch, k)                       # [S_ch, N]
+    acc_cnt[:] += jnp.sum(mm, axis=0, keepdims=True)
+    acc_mq[:] += jax.lax.dot_general(
+        _bf16(mm), qc_t[0], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [N, F0]
+    rep = _rep_matrix(s_ch, k)
+    sdy_s[0] = jax.lax.dot_general(
+        rep, dy_j, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [S_ch, F0]
+    sz_s[0] = jax.lax.dot_general(
+        rep, z_j[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        h_out[0] = acc_h[:]
+        mq_out[0] = acc_mq[:]
+        cnt_out[0] = acc_cnt[:]
 
 
 def _s_chunk_cp(s, k, f_max):
@@ -837,6 +1199,26 @@ def _call_fwd_pool_cp(z_last, s, k, f, pack, f_max, interpret):
     )(z_last, packp)
 
 
+def _call_fwd_pool_ymax_cp(z_last, s, k, f, pack, f_max, interpret):
+    """Planar pool for the fused top: returns (pooled bf16, ymax f32)."""
+    b = z_last.shape[0]
+    s_ch = _s_chunk_cp(s, k, f_max)
+    grid = (b, s // s_ch)
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    packp = jnp.swapaxes(pack, 0, 1)
+    ospec = lambda dt: _vspec((1, s_ch, f), lambda b__, i: (b__, i, 0))
+    return pl.pallas_call(
+        partial(_fwd_pool_ymax_kernel_cp, k, f),
+        grid=grid,
+        in_specs=[_planar_spec(s_ch, k, f), const(packp)],
+        out_specs=[ospec(None), ospec(None)],
+        out_shape=[jax.ShapeDtypeStruct((b, s, f), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((b, s, f), jnp.float32)],
+        interpret=interpret,
+    )(z_last, packp)
+
+
 def _call_bwd_top_cp(train, z_last, s, k, f, pack, pooled, dpooled,
                      f_max, interpret):
     b = z_last.shape[0]
@@ -859,13 +1241,21 @@ def _call_bwd_top_cp(train, z_last, s, k, f, pack, pooled, dpooled,
     return dy, sdy[None, :, 0], sdyx[None, :, 0]
 
 
-def _call_bwd_step_cp(train, z_j, z_j1, dy_j1, s, k, f_j, f_j1, pack_j,
-                      pack_j1, w_j, f_max, interpret):
+def _call_bwd_step_cp(train, top, z_j, z_j1, dy_src, s, k, f_j, f_j1,
+                      pack_j, pack_j1, w_j, f_max, interpret):
     b = z_j.shape[0]
     s_ch = _s_chunk_cp(s, k, f_max)
     grid = (b, s // s_ch)
     const = lambda a: _vspec(a.shape,
                              lambda b__, i: tuple(0 for _ in a.shape))
+    if top:
+        pooled, dpooled = dy_src
+        pspec = _vspec((1, s_ch, f_j1), lambda b__, i: (b__, i, 0))
+        extra_specs = [pspec, pspec]
+        extra_ins = (pooled, dpooled.astype(jnp.bfloat16))
+    else:
+        extra_specs = [_planar_spec(s_ch, k, f_j1)]
+        extra_ins = (dy_src,)
     out_specs, out_shapes = [_planar_spec(s_ch, k, f_j)], [
         _planar_struct(b, s, k, f_j)]
     for shape in [(f_j, 1), (f_j, 1), w_j.shape, (f_j1, 1)]:
@@ -875,16 +1265,73 @@ def _call_bwd_step_cp(train, z_j, z_j1, dy_j1, s, k, f_j, f_j1, pack_j,
     packjp = jnp.swapaxes(pack_j, 0, 1)
     packj1p = jnp.swapaxes(pack_j1, 0, 1)
     dy, sdy, sdyx, dw, db = pl.pallas_call(
-        partial(_bwd_step_kernel_cp, train, k, f_j, f_j1),
+        partial(_bwd_step_kernel_cp, train, top, k, f_j, f_j1),
         grid=grid,
-        in_specs=[_planar_spec(s_ch, k, f_j), _planar_spec(s_ch, k, f_j1),
-                  _planar_spec(s_ch, k, f_j1), const(packjp),
-                  const(packj1p), const(w_j)],
+        in_specs=[_planar_spec(s_ch, k, f_j), _planar_spec(s_ch, k, f_j1)]
+        + extra_specs + [const(packjp), const(packj1p), const(w_j)],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(z_j, z_j1, dy_j1, packjp, packj1p, w_j)
+    )(z_j, z_j1, *extra_ins, packjp, packj1p, w_j)
     return dy, sdy[None, :, 0], sdyx[None, :, 0], dw, db[None, :, 0]
+
+
+def _call_bwd_step0_cp(train, top, z_j, z_j1, dy_src, cent, xyz, qc, s,
+                       k, f_j, f_j1, pack_j, pack_j1, w_j, radius,
+                       f_max, interpret):
+    """Planar j = 0 cached bwd step fused with the dz1 pass; returns
+    the same tuple as _call_bwd_step0 (rows conventions)."""
+    b = z_j.shape[0]
+    n = xyz.shape[1]
+    s_ch = _s_chunk_p(s, k, f_max, n)
+    grid = (b, s // s_ch)
+    pt = jnp.swapaxes(xyz, 1, 2)
+    const = lambda a: _vspec(a.shape,
+                             lambda b__, i: tuple(0 for _ in a.shape))
+    if top:
+        pooled, dpooled = dy_src
+        pspec = _vspec((1, s_ch, f_j1), lambda b__, i: (b__, i, 0))
+        extra_specs = [pspec, pspec]
+        extra_ins = (pooled, dpooled.astype(jnp.bfloat16))
+    else:
+        extra_specs = [_planar_spec(s_ch, k, f_j1)]
+        extra_ins = (dy_src,)
+    sspec = _vspec((1, s_ch, f_j), lambda b__, i: (b__, i, 0))
+    out_specs, out_shapes = [], []
+    for shape in [(f_j, 1), (f_j, 1), w_j.shape, (f_j1, 1)]:
+        sp, sh = _acc_spec_p(shape)
+        out_specs.append(sp)
+        out_shapes.append(sh)
+    perb = lambda shp: (_vspec((1,) + shp, lambda b__, i: (b__,)
+                               + tuple(0 for _ in shp)),
+                        jax.ShapeDtypeStruct((b,) + shp, jnp.float32))
+    for shp in [(n, f_j), (n, f_j), (1, n)]:
+        sp, sh = perb(shp)
+        out_specs.append(sp)
+        out_shapes.append(sh)
+    out_specs += [sspec, sspec]
+    out_shapes += [jax.ShapeDtypeStruct((b, s, f_j), jnp.float32)] * 2
+    packjp = jnp.swapaxes(pack_j, 0, 1)
+    packj1p = jnp.swapaxes(pack_j1, 0, 1)
+    (sdy, sdyx, dw, db, h_acc, mq, cnt, sdy_s, sz_s) = pl.pallas_call(
+        partial(_bwd_step0_kernel_cp, train, top, radius * radius, k,
+                f_j, f_j1),
+        grid=grid,
+        in_specs=[_planar_spec(s_ch, k, f_j), _planar_spec(s_ch, k, f_j1)]
+        + extra_specs
+        + _geo_specs(s_ch, n)
+        + [_vspec((1, s_ch, f_j), lambda b__, i: (b__, i, 0))]
+        + [const(packjp), const(packj1p), const(w_j)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((n, f_j), jnp.float32),
+                        pltpu.VMEM((n, f_j), jnp.float32),
+                        pltpu.VMEM((1, n), jnp.float32)],
+        interpret=interpret,
+    )(z_j, z_j1, *extra_ins, cent, pt, _tri(n), _bf16(qc), packjp,
+      packj1p, w_j)
+    return (sdy[None, :, 0], sdyx[None, :, 0], dw, db[None, :, 0],
+            h_acc, mq, cnt, sdy_s, sz_s)
 
 
 # ---------------------------------------------------------------------------
@@ -1327,6 +1774,7 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
     if schedule == "cached":
         zs = [z1]
         sums, sumsq = s0, q0
+        zmax = zmin = None
         for d in range(depth):
             mu, var = stat(sums, sumsq) if train else running[d]
             means.append(mu)
@@ -1335,15 +1783,36 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
             if d < depth - 1:
                 f_in = gammas[d].shape[0]
                 f_out = gammas[d + 1].shape[0]
-                step = _call_fwd_step_cp if planar else _call_fwd_step
-                z_next, sums, sumsq = step(
-                    zs[d], s, k, f_in, f_out, packs[d], ws[d], bs[d],
-                    f_max, interpret)
+                if d == depth - 2 and not planar:
+                    # Rows: the last step also emits z extrema so the
+                    # pool pass (full z_last read) becomes an XLA
+                    # epilogue. Planar keeps the pool pass: its segment
+                    # max needs log2(K) roll+max sweeps, and two of
+                    # them (max AND min, the affine sign being unknown
+                    # until the stats land) cost more than the saved
+                    # stream.
+                    z_next, sums, sumsq, zmax, zmin = _call_fwd_last(
+                        zs[d], s, k, f_in, f_out, packs[d], ws[d],
+                        bs[d], f_max, interpret)
+                else:
+                    step = _call_fwd_step_cp if planar else _call_fwd_step
+                    z_next, sums, sumsq = step(
+                        zs[d], s, k, f_in, f_out, packs[d], ws[d],
+                        bs[d], f_max, interpret)
                 zs.append(z_next)
-        pool = _call_fwd_pool_cp if planar else _call_fwd_pool
-        pooled = pool(zs[-1], s, k, gammas[-1].shape[0], packs[-1],
-                      f_max, interpret)
-        return pooled, means, variances, tuple(zs), packs
+        if planar and _PLANAR_TOP == "fused":
+            pooled, ymax = _call_fwd_pool_ymax_cp(
+                zs[-1], s, k, gammas[-1].shape[0], packs[-1], f_max,
+                interpret)
+            pool_aux = (ymax,)
+        elif planar:
+            pooled = _call_fwd_pool_cp(zs[-1], s, k, gammas[-1].shape[0],
+                                       packs[-1], f_max, interpret)
+            pool_aux = ()
+        else:
+            pooled = _pool_epilogue(zmax, zmin, packs[-1])
+            pool_aux = (zmax, zmin)
+        return pooled, means, variances, tuple(zs), packs, pool_aux
     for d in range(depth):
         if train:
             if d == 0:
@@ -1367,7 +1836,7 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
                                  _bs_planar(bs), n, interpret)
     else:
         pooled = _call_fwd_out(z1, s, k, f0, packs, ws, bs, interpret)
-    return pooled, means, variances, (z1,), packs
+    return pooled, means, variances, (z1,), packs, ()
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 13, 14, 15))
@@ -1394,7 +1863,7 @@ def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
     reduction order; gradient w.r.t. the discrete selection geometry is
     zero (as in the reference CUDA op).
     """
-    pooled, means, variances, _, _ = _fwd_impl(
+    pooled, means, variances, _, _, _ = _fwd_impl(
         new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius, nsample,
         eps, train, running, interpret, layout, schedule)
     return pooled, tuple(means), tuple(variances)
@@ -1402,18 +1871,22 @@ def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
 
 def _fgc_fwd(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
              nsample, eps, train, running, interpret, layout, schedule):
-    pooled, means, variances, zs, packs = _fwd_impl(
+    pooled, means, variances, zs, packs, pool_aux = _fwd_impl(
         new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius, nsample,
         eps, train, running, interpret, layout, schedule)
-    res = (new_xyz, xyz, zs, pooled, tuple(packs), ws, bs,
-           jnp.zeros((), pf.dtype), jnp.zeros((), qc.dtype), running)
+    # pf/qc ride along for the cached schedule's fused j=0 step (qc
+    # feeds the in-kernel M^T qc dot, pf the XLA dz1 epilogue); they
+    # are op inputs, so this adds no residual memory. pool_aux carries
+    # the pool extrema for the XLA top-stat epilogue ([B,S,F]-sized).
+    res = (new_xyz, xyz, zs, pooled, tuple(packs), ws, bs, pf, qc,
+           running, pool_aux)
     return (pooled, tuple(means), tuple(variances)), res
 
 
 def _fgc_bwd(radius, nsample, eps, train, interpret, layout, schedule,
              res, cts):
-    (new_xyz, xyz, zs, pooled, packs, ws, bs, pf_tok, qc_tok,
-     running) = res
+    (new_xyz, xyz, zs, pooled, packs, ws, bs, pf_res, qc_res,
+     running, pool_aux) = res
     z1 = zs[0]
     dpooled = cts[0]  # stats cotangents ignored (variable updates)
     depth = len(packs)
@@ -1431,19 +1904,68 @@ def _fgc_bwd(radius, nsample, eps, train, interpret, layout, schedule,
     dws, dbs = [None] * (depth - 1), [None] * (depth - 1)
     if schedule == "cached":
         fdims = [p_.shape[-1] for p_ in packs]
-        top = _call_bwd_top_cp if planar else _call_bwd_top
         step = _call_bwd_step_cp if planar else _call_bwd_step
+        # The top layer's BN-stat sums come from an XLA epilogue over
+        # the pool extrema (no kernel pass, no stored dy_{L-1}; the
+        # j = depth-2 step redoes the pool grad in-VMEM). Exact for
+        # sdy; sdyx recovers the argmax row's z from pool_aux — exact
+        # for rows (true z extrema), one f32 divide away for planar.
+        # T3D_PLANAR_TOP=store keeps the round-3 planar top pass for
+        # A/B (the pool-grad redo once measured slower than the saved
+        # dy stream, before the top pass itself was on the table).
+        xla_top = (not planar) or _PLANAR_TOP == "fused"
         dy_next = None
+        h_acc = mq = cnt = sdy_s = sz_s = None
         for j in range(depth - 1, -1, -1):
             if j == depth - 1:
-                dy_next, sdy, sdyx = top(
-                    train, zs[j], s, k, fdims[j], packs[j], pooled,
-                    dpooled, f_max, interpret)
+                if xla_top:
+                    aL, cL = packs[j][0], packs[j][1]
+                    muL, rL = packs[j][2], packs[j][3]
+                    if planar:
+                        (ymax,) = pool_aux
+                        zsel = (ymax - cL) / jnp.where(aL == 0.0, 1.0,
+                                                       aL)
+                    else:
+                        zmax, zmin = pool_aux
+                        zsel = jnp.where(aL > 0, zmax, zmin)
+                    mask = _f32(pooled) > 0
+                    dyp = jnp.where(mask, _f32(dpooled), 0.0)
+                    sdy = jnp.sum(dyp, axis=(0, 1))[None]
+                    sdyx = jnp.sum(dyp * ((zsel - muL) * rL),
+                                   axis=(0, 1))[None]
+                elif planar:
+                    dy_next, sdy, sdyx = _call_bwd_top_cp(
+                        train, zs[j], s, k, fdims[j], packs[j], pooled,
+                        dpooled, f_max, interpret)
+                else:
+                    sdy, sdyx = _call_bwd_top(
+                        train, zs[j], s, k, fdims[j], packs[j], pooled,
+                        dpooled, f_max, interpret)
             else:
-                dy_next, sdy, sdyx, dws[j], dbs_ = step(
-                    train, zs[j], zs[j + 1], dy_next, s, k, fdims[j],
-                    fdims[j + 1], packs[j], packs[j + 1], ws[j], f_max,
-                    interpret)
+                at_top = j == depth - 2 and xla_top
+                dy_src = (pooled, dpooled) if at_top else dy_next
+                if j == 0:
+                    # Final step fused with the dz1/d_payload pass:
+                    # dy_0 never reaches HBM (see _bwd_step0_kernel).
+                    if planar:
+                        (sdy, sdyx, dws[j], dbs_, h_acc, mq, cnt,
+                         sdy_s, sz_s) = _call_bwd_step0_cp(
+                            train, at_top, zs[j], zs[j + 1], dy_src,
+                            new_xyz, xyz, qc_res, s, k, fdims[j],
+                            fdims[j + 1], packs[j], packs[j + 1],
+                            ws[j], radius, f_max, interpret)
+                    else:
+                        (sdy, sdyx, dws[j], dbs_, h_acc, mq, cnt,
+                         sdy_s, sz_s) = _call_bwd_step0(
+                            train, at_top, zs[j], zs[j + 1], dy_src,
+                            new_xyz, xyz, qc_res, s, k, fdims[j],
+                            fdims[j + 1], packs[j], packs[j + 1],
+                            ws[j], radius, interpret)
+                else:
+                    dy_next, sdy, sdyx, dws[j], dbs_ = step(
+                        train, at_top, zs[j], zs[j + 1], dy_src, s, k,
+                        fdims[j], fdims[j + 1], packs[j], packs[j + 1],
+                        ws[j], f_max, interpret)
                 dbs[j] = dbs_[0]
             sdy, sdyx = sdy[0], sdyx[0]
             dbetas[j] = sdy
@@ -1451,7 +1973,20 @@ def _fgc_bwd(radius, nsample, eps, train, interpret, layout, schedule,
             if train:
                 packs[j] = (packs[j].at[4].set(sdy / m)
                             .at[5].set(sdyx / m))
-        dy0 = dy_next
+        # dz1/d_payload epilogue (see _bwd_step0_kernel's docstring).
+        a0, mu0, r0 = packs[0][0], packs[0][2], packs[0][3]
+        cntv = jnp.swapaxes(cnt, 1, 2)               # [B, N, 1]
+        if train:
+            mdy0, mdyx0 = packs[0][4], packs[0][5]
+            pf_f = _f32(_bf16(pf_res))               # kernel's bf16 view
+            xoh = r0 * (cntv * pf_f - mq - cntv * mu0)
+            dpf = a0 * (h_acc - cntv * mdy0) - (a0 * mdyx0) * xoh
+            sxhat = r0 * (sz_s - k * mu0)
+            dqc = -(a0 * (sdy_s - k * mdy0 - mdyx0 * sxhat))
+        else:
+            dpf = a0 * h_acc
+            dqc = -(a0 * sdy_s)
+        dpf = dpf.astype(pf_res.dtype)
     else:
         for j in range(depth - 1, -1, -1):
             if planar:
@@ -1476,18 +2011,18 @@ def _fgc_bwd(radius, nsample, eps, train, interpret, layout, schedule,
                 # Fill the statistic rows for the next (lower) passes.
                 packs[j] = (packs[j].at[4].set(sdy / m)
                             .at[5].set(sdyx / m))
-    if planar:
-        dpf, dqc = _call_bwd_dz1_p(new_xyz, xyz, z1, dy0, s, k, f0,
-                                   jnp.swapaxes(packs[0], 0, 1), radius,
-                                   nsample, train, pf_tok.dtype, f_max,
-                                   interpret)
-    else:
-        dpf, dqc = _call_bwd_dz1(new_xyz, xyz, z1, dy0, s, k, f0,
-                                 packs[0], radius, nsample, train,
-                                 pf_tok.dtype, interpret)
+        if planar:
+            dpf, dqc = _call_bwd_dz1_p(new_xyz, xyz, z1, dy0, s, k, f0,
+                                       jnp.swapaxes(packs[0], 0, 1),
+                                       radius, nsample, train,
+                                       pf_res.dtype, f_max, interpret)
+        else:
+            dpf, dqc = _call_bwd_dz1(new_xyz, xyz, z1, dy0, s, k, f0,
+                                     packs[0], radius, nsample, train,
+                                     pf_res.dtype, interpret)
     drunning = jax.tree_util.tree_map(jnp.zeros_like, running)
     return (jnp.zeros_like(new_xyz), jnp.zeros_like(xyz), dpf,
-            dqc.astype(qc_tok.dtype), tuple(dgammas), tuple(dbetas),
+            dqc.astype(qc_res.dtype), tuple(dgammas), tuple(dbetas),
             tuple(dws), tuple(dbs), drunning)
 
 
