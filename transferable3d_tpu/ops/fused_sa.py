@@ -677,6 +677,89 @@ def _bwd_step_kernel(train, top, k, f_j, f_j1, *refs):
     db[:] += jnp.sum(_f32(dz1_), axis=0, keepdims=True)
 
 
+def _infer_kernel(r2, k, f0, depth, ct, pt, tri, pay, qc, *refs):
+    """Single-pass INFERENCE chain (rows): extract -> L layers -> pool
+    entirely in VMEM. Eval mode has no batch-stat barriers (packs are
+    built from running stats), so no z tensor ever needs HBM: the pass
+    reads geometry + payload once and writes only pooled. Bit-matches
+    the multi-pass schedules (same _chain_all math, same pool)."""
+    packs, ws, bs, (pooled,) = _split(refs, depth, depth - 1,
+                                      depth - 1, 1)
+    s_ch = ct.shape[1]
+    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
+    g = jnp.dot(oh, pay[0], preferred_element_type=jnp.float32)
+    # g and qc_rep are exactly bf16-valued (one-hot selection of bf16
+    # payload; bf16 qc), so the stored-z1 semantics reduce to rounding
+    # their f32 difference. The rounding must be reduce_precision: a
+    # bf16 cast consumed only by f32 math is ELIDED (excess-precision
+    # simplification — same trap as core/numerics.exact_hi_lo), which
+    # would run the whole chain on unrounded z1 and break bit-parity
+    # with the multi-pass schedules.
+    z1 = jax.lax.reduce_precision(g - _expand_rows(qc, k),
+                                  exponent_bits=8, mantissa_bits=7)
+    _, hs = _chain_all(z1, packs, ws, bs)
+    h = hs[-1]
+    pooled[0] = jnp.max(h.reshape(s_ch, k, h.shape[-1]), axis=1)
+
+
+def _infer_kernel_p(r2, k, f0, depth, ct, pt, tri, payt, qc, *refs):
+    """Planar twin of _infer_kernel."""
+    packs, ws, bs, (pooled,) = _split(refs, depth, depth - 1,
+                                      depth - 1, 1)
+    s_ch = ct.shape[1]
+    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    oh = _onehot_all(rank_m, k)
+    g = jax.lax.dot_general(
+        payt[0], oh, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [F0, rows]
+    # reduce_precision rounding: see _infer_kernel.
+    z1 = jax.lax.reduce_precision(g - _rep_cols(qc, s_ch, k),
+                                  exponent_bits=8, mantissa_bits=7)
+    _, hs = _chain_all_p(z1, packs, ws, bs)
+    hmax = _seg_max_lanes(_f32(hs[-1]), k)
+    pooled[0] = jax.lax.dot_general(
+        _sel_matrix(s_ch, k), hmax,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(pooled.dtype)
+
+
+def _call_infer(cent, xyz, pf, qc, radius, nsample, packs, ws, bs,
+                planar, interpret):
+    b, s, _ = cent.shape
+    n = xyz.shape[1]
+    f0 = pf.shape[-1]
+    f_last = packs[-1].shape[-1]
+    depth = len(packs)
+    pt = jnp.swapaxes(xyz, 1, 2)
+    if planar:
+        f_max = max(p_.shape[-1] for p_ in packs)
+        s_ch = _s_chunk_p(s, nsample, f_max, n)
+        pay = jnp.swapaxes(_bf16(pf), 1, 2)            # [B, F0, N]
+        pay_spec = _vspec((1, f0, n), lambda b_, i: (b_, 0, 0))
+        params = _param_specs(_pack_planar(packs), ws, _bs_planar(bs))
+        p_args = (*_pack_planar(packs), *ws, *_bs_planar(bs))
+        kern = _infer_kernel_p
+    else:
+        s_ch = _s_chunk_extract(s, nsample, n)
+        pay = pf
+        pay_spec = _vspec((1, n, f0), lambda b_, i: (b_, 0, 0))
+        params = _param_specs(packs, ws, bs)
+        p_args = (*packs, *ws, *bs)
+        kern = _infer_kernel
+    return pl.pallas_call(
+        partial(kern, radius * radius, nsample, f0, depth),
+        grid=(b, s // s_ch),
+        in_specs=_geo_specs(s_ch, n) + [
+            pay_spec,
+            _vspec((1, s_ch, f0), lambda b_, i: (b_, i, 0)),
+        ] + params,
+        out_specs=_vspec((1, s_ch, f_last), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, f_last), jnp.bfloat16),
+        interpret=interpret,
+    )(cent, pt, _tri(n), pay, _bf16(qc), *p_args)
+
+
 def _mult_tile(oh, s_ch, k):
     """Slot multiplicity M [S_ch, N] f32: how many of the K cyclic
     slots of centroid s select point n (= onehot summed over slots,
@@ -1744,7 +1827,7 @@ def _make_pack(gamma, beta, mu, var, eps, mdy=None, mdyx=None):
 
 def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
               nsample, eps, train, running, interpret, layout="rows",
-              schedule="recompute"):
+              schedule="recompute", with_residuals=True):
     depth = len(gammas)
     # Depth-1 chains would leave dy0 unset in the backward cascade
     # (the j==0 pass doubles as the j==depth-1 pass); no SA config uses
@@ -1758,6 +1841,15 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
     n = xyz.shape[1]
     f_max = max(g.shape[0] for g in gammas)
     planar = layout == "planar"
+    if not train and not with_residuals:
+        # Inference fast path: packs from running stats, one kernel.
+        packs = [_make_pack(gammas[d], betas[d], *running[d], eps)
+                 for d in range(depth)]
+        pooled = _call_infer(new_xyz, xyz, pf, qc, radius, nsample,
+                             packs, ws, bs, planar, interpret)
+        means = [running[d][0] for d in range(depth)]
+        variances = [running[d][1] for d in range(depth)]
+        return pooled, means, variances, (), packs, ()
     if planar:
         z1, s0, q0 = _call_extract_p(new_xyz, xyz, pf, qc, radius,
                                      nsample, f_max, interpret)
@@ -1863,9 +1955,14 @@ def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
     reduction order; gradient w.r.t. the discrete selection geometry is
     zero (as in the reference CUDA op).
     """
+    # Primal (not under grad): eval mode takes the single-pass fused
+    # inference kernel — no batch-stat barriers, no z tensor in HBM.
+    # Under jax.grad the custom VJP routes through _fgc_fwd instead,
+    # which keeps the multi-pass schedule and its residuals.
     pooled, means, variances, _, _, _ = _fwd_impl(
         new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius, nsample,
-        eps, train, running, interpret, layout, schedule)
+        eps, train, running, interpret, layout, schedule,
+        with_residuals=False)
     return pooled, tuple(means), tuple(variances)
 
 
