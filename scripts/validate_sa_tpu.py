@@ -1,0 +1,142 @@
+"""On-TPU validation of the new fused-SA kernels (run before benches).
+
+1. Mosaic compile + run smoke of fused_grouped_chain fwd+bwd for every
+   v2 SA scale config, train + eval, at real shapes.
+2. Numeric cross-check vs the unfused XLA formulation at one MSG scale
+   (substantive leaves only; Dense-bias grads are analytically zero
+   under train BN -> noise, skipped).
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+
+print(jax.devices(), flush=True)
+from transferable3d_tpu.ops import fused_sa
+
+B, N = 128, 1024
+# (S, K, feats, radius, layout_expected)
+CONFIGS = [
+    (128, 32, (32, 32, 64), 0.2),      # seg-SA1 a  (planar)
+    (128, 64, (64, 64, 128), 0.4),     # seg-SA1 b  (planar)
+    (128, 128, (64, 96, 128), 0.8),    # seg-SA1 c  (planar)
+    (32, 64, (64, 64, 128), 0.4),      # seg-SA2 a  (rows)
+    (32, 128, (128, 128, 256), 1.6),   # seg-SA2 c  (rows)
+    (128, 64, (64, 64, 128), 0.2),     # box-SA1    (planar)
+    (32, 64, (128, 128, 256), 0.4),    # box-SA2    (rows)
+]
+
+
+def make(s, k, feats, seed):
+    rng = np.random.RandomState(seed)
+    f0 = feats[0]
+    cent = jnp.asarray(rng.uniform(-2, 2, (B, s, 3)).astype(np.float32))
+    xyz = jnp.asarray(rng.uniform(-2, 2, (B, N, 3)).astype(np.float32))
+    pf = jnp.asarray(rng.uniform(-1, 1, (B, N, f0)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    qc = jnp.asarray(rng.uniform(-1, 1, (B, s, f0)).astype(np.float32))
+    gammas = tuple(jnp.asarray(rng.uniform(0.5, 1.5, (f,)).astype(np.float32))
+                   for f in feats)
+    betas = tuple(jnp.asarray(rng.uniform(-.3, .3, (f,)).astype(np.float32))
+                  for f in feats)
+    ws = tuple(jnp.asarray((rng.normal(size=(feats[i], feats[i+1])) * .2
+                            ).astype(np.float32)).astype(jnp.bfloat16)
+               for i in range(len(feats) - 1))
+    bs = tuple(jnp.asarray(rng.uniform(-.1, .1, (f,)).astype(np.float32)
+                           ).astype(jnp.bfloat16) for f in feats[1:])
+    return cent, xyz, pf, qc, gammas, betas, ws, bs
+
+
+def rows_for(s, k, feats):
+    import os
+    pm = int(os.environ.get("T3D_PLANAR_MIN_ROWS", "4096"))
+    rows = s * k
+    return ("planar" if min(feats) < 128 and rows % 128 == 0
+            and rows >= pm else "rows")
+
+
+for (s, k, feats, radius) in CONFIGS:
+    layout = rows_for(s, k, feats)
+    cent, xyz, pf, qc, gammas, betas, ws, bs = make(s, k, feats, 0)
+
+    def loss(args, train):
+        pf_, qc_, ws_, bs_ = args
+        out = fused_sa.fused_grouped_chain(
+            cent, xyz, pf_, qc_, gammas, betas, ws_, bs_, radius, k,
+            1e-3, train,
+            None if train else tuple((jnp.zeros((f,)), jnp.ones((f,)))
+                                     for f in feats),
+            False, layout, "cached")
+        return jnp.sum(out[0].astype(jnp.float32))
+
+    args = (pf, qc, ws, bs)
+    # primal eval (no grad) exercises the single-pass inference kernel
+    t0 = time.time()
+    pe = jax.jit(lambda a: loss(a, False))
+    v = jax.block_until_ready(pe(args))
+    assert bool(jnp.isfinite(v)), (s, k, feats, "infer nonfinite")
+    print(f"S={s} K={k} feats={feats} {layout} INFER single-pass: "
+          f"loss={float(v):.1f} compile+run {time.time()-t0:.1f}s ok",
+          flush=True)
+    infer_v = float(v)
+    for train in (True, False):
+        t0 = time.time()
+        g = jax.jit(jax.value_and_grad(lambda a: loss(a, train)))
+        v, gr = jax.block_until_ready(g(args))
+        flat = jax.tree_util.tree_leaves(gr)
+        bad = [float(jnp.max(jnp.abs(x))) for x in flat
+               if not bool(jnp.all(jnp.isfinite(x)))]
+        assert not bad, (s, k, feats, train, "nonfinite grads")
+        if not train:
+            rel = abs(float(v) - infer_v) / max(1.0, abs(infer_v))
+            assert rel < 1e-5, ("infer vs grad-path eval", infer_v,
+                                float(v))
+        print(f"S={s} K={k} feats={feats} {layout} train={train}: "
+              f"loss={float(v):.1f} compile+run {time.time()-t0:.1f}s ok",
+              flush=True)
+
+# numeric cross-check at seg-SA1 scale b vs unfused (on TPU)
+from transferable3d_tpu.models import pointnet2
+s, k, feats, radius = 16, 32, (16, 24, 40), 0.6   # small for unfused speed
+cent, xyz, pf, qc, gammas, betas, ws, bs = make(s, k, feats, 3)
+from transferable3d_tpu.ops.grouping import ball_query_group
+
+def unfused(args):
+    pf_, qc_, ws_, bs_ = args
+    grouped, _ = ball_query_group(cent, xyz, pf_, radius, k,
+                                  include_xyz=False)
+    x = grouped - qc_[:, :, None, :]
+    for i in range(len(feats)):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(xf * xf, axis=(0, 1, 2)) - mu * mu
+        r = jax.lax.rsqrt(var + 1e-3)
+        a = gammas[i] * r
+        y = (xf * a + (betas[i] - mu * a)).astype(jnp.bfloat16)
+        h = jnp.maximum(y, jnp.bfloat16(0))
+        x = ((jnp.dot(h, ws_[i].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) + bs_[i]
+              ).astype(jnp.bfloat16) if i < len(feats) - 1 else h)
+    return jnp.sum(jnp.max(x, axis=2).astype(jnp.float32))
+
+args = (pf, qc, ws, bs)
+for layout in ("rows", "planar"):
+    def fused(a):
+        pf_, qc_, ws_, bs_ = a
+        out = fused_sa.fused_grouped_chain(
+            cent, xyz, pf_, qc_, gammas, betas, ws_, bs_, radius, k,
+            1e-3, True, None, False, layout, "cached")
+        return jnp.sum(out[0].astype(jnp.float32))
+    gr = jax.jit(jax.grad(unfused))(args)
+    gn = jax.jit(jax.grad(fused))(args)
+    names = ["pf", "qc", "ws", "bs"]
+    for nm, a, b in zip(names, gr, gn):
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)):
+            if nm == "bs":
+                continue  # analytically-zero noise
+            x = np.asarray(x, np.float32); y = np.asarray(y, np.float32)
+            rel = np.linalg.norm(x - y) / max(1e-6, np.linalg.norm(x))
+            assert rel < 0.03, (layout, nm, rel)
+    print(f"cross-check {layout}: grads match unfused on TPU", flush=True)
+print("ALL TPU VALIDATION PASSED", flush=True)
