@@ -200,6 +200,37 @@ def test_geometry_grads_are_zero(layout, schedule):
     assert float(jnp.max(jnp.abs(dx))) == 0.0
 
 
+def test_fused_module_eval_matches_unfused(monkeypatch):
+    """Module-level EVAL parity: GroupedPointMLP's fused branch in eval
+    mode routes the primal through the single-pass inference kernel
+    (no grad, running stats); must bit-match the unfused module."""
+    from transferable3d_tpu.models import pointnet2
+
+    rng = np.random.RandomState(2)
+    xyz = jnp.asarray(rng.uniform(-1.5, 1.5, (B, N, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.uniform(-1, 1, (B, N, 5)).astype(
+        np.float32)).astype(jnp.bfloat16)
+    new_xyz = xyz[:, :S, :]
+    mod = pointnet2.GroupedPointMLP((16, 24, 32), R, K,
+                                    dtype=jnp.bfloat16)
+    v0 = mod.init(jax.random.PRNGKey(0), new_xyz, xyz, feats, train=True,
+                  bn_momentum=0.9)
+    # one train step to make running stats non-trivial
+    _, muts = mod.apply(v0, new_xyz, xyz, feats, train=True,
+                        bn_momentum=0.5, mutable=["batch_stats"])
+    v0 = {**v0, **muts}
+
+    out_u = mod.apply(v0, new_xyz, xyz, feats, train=False,
+                      bn_momentum=0.9)
+    monkeypatch.setattr(fused_sa, "INTERPRET", True)
+    monkeypatch.setattr(pointnet2, "on_tpu", lambda: True)
+    out_f = mod.apply(v0, new_xyz, xyz, feats, train=False,
+                      bn_momentum=0.9)
+    np.testing.assert_array_equal(
+        np.asarray(out_u.astype(jnp.float32)),
+        np.asarray(out_f.astype(jnp.float32)))
+
+
 def test_fused_module_path_matches_unfused(monkeypatch):
     """GroupedPointMLP's fused branch: identical variable tree, matching
     forward and batch-stat updates."""
