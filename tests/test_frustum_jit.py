@@ -150,6 +150,39 @@ def test_systematic_sampler_marginals_and_phase():
     assert counts.max() <= 4          # no pixel hogs the sample
 
 
+def test_output_slots_not_scan_ordered():
+    """Regression (round-3 advisor, medium): slots emitted in pixel
+    scan order bias order-truncating consumers — point_cloud_masking
+    keeps the first num_object_point masked points in input order, so
+    a seg mask larger than that budget would reduce to the object's
+    top-of-image slice. Any PREFIX of the output must cover the whole
+    frustum, like the host provider's np.random.choice order."""
+    depth = np.zeros((480, 640), np.float32)
+    depth[100:400, 200:500] = 5.0  # 90k valid pixels, rows 100..399
+    box = np.array([[200, 100, 500, 400]], np.float32)
+    out = frustum_jit.lift_depth_frustums(
+        jnp.asarray(depth), jnp.asarray(K), jnp.asarray(box), 1024,
+        jax.random.PRNGKey(7))
+    pts = np.asarray(out.points[0])
+    # Rotation about +Y preserves y; constant depth makes y monotone in
+    # the pixel row v. Scan order would put all of the first quarter's
+    # points in the image's top rows (y below the blob median).
+    y = pts[:, 1]
+    y_med = np.median(y)
+    for lo in range(0, 1024, 256):
+        frac_top = (y[lo:lo + 256] < y_med).mean()
+        assert 0.25 < frac_top < 0.75, (lo, frac_top)
+    # Different frustums get different slot orders (cyclic offset):
+    # re-run with two boxes and check their y sequences differ.
+    boxes2 = np.array([[200, 100, 500, 400], [200, 100, 500, 400]],
+                      np.float32)
+    out2 = frustum_jit.lift_depth_frustums(
+        jnp.asarray(depth), jnp.asarray(K), jnp.asarray(boxes2), 1024,
+        jax.random.PRNGKey(7))
+    p2 = np.asarray(out2.points)
+    assert not np.allclose(p2[0, :, 1], p2[1, :, 1])
+
+
 def test_pallas_fetch_select_matches_xla():
     """The Pallas two-level fetch (TPU hot path) must agree with the
     XLA form exactly — same ranks, same hi/lo coordinate split."""

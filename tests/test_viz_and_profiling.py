@@ -45,6 +45,28 @@ def test_export_html(tmp_path):
     assert "#ff7043" in html  # seg coloring applied
 
 
+def test_export_html_escapes_script_breakout(tmp_path):
+    """A '</script>' in a label or title must not escape the script tag
+    (advisor finding, round 3)."""
+    pts = np.zeros((10, 3), np.float32)
+    path = viz.export_html(
+        pts,
+        boxes=[{"center": [0, 0, 1], "size": [1, 1, 1], "heading": 0.0,
+                "label": "</script><script>alert(1)</script>"}],
+        path=str(tmp_path / "x.html"),
+        title="<b>evil</b></title>")
+    html = open(path).read()
+    body = html.split("<body>")[1]
+    # No raw '<' survives inside the embedded JSON payload.
+    payload = body.split("const DATA = ")[1].split(";\n")[0]
+    assert "<" not in payload
+    import json as _json
+    data = _json.loads(payload)
+    assert data["boxes"][0]["label"].startswith("</script>")
+    # Title is HTML-escaped everywhere it is interpolated.
+    assert "<b>evil</b>" not in html
+
+
 def test_export_html_subsamples(tmp_path):
     pts = np.zeros((1000, 3), np.float32)
     path = viz.export_html(pts, path=str(tmp_path / "s.html"),

@@ -9,10 +9,12 @@ zero host preprocessing.
 
 Everything is shape-static:
   * depth [H, W] lifts to a dense point grid (invalid depths masked);
-  * per 2D box: in-box mask; `npoints` sampled among masked pixels by
-    top-k over random keys (uniform without replacement), wrapping
-    cyclically when the frustum has fewer than `npoints` pixels —
-    identical semantics to the host provider's resample-with-replacement;
+  * per 2D box: in-box mask; `npoints` sampled among masked pixels by a
+    systematic rank-select (random phase; uniform marginal inclusion,
+    without replacement when enough pixels), wrapping cyclically when
+    the frustum has fewer than `npoints` pixels — same semantics as the
+    host provider's resample-with-replacement; output slots are emitted
+    in a shuffled order, not pixel scan order (see _select_prelude);
   * frustum angle from the box-center ray; points rotated about +Y so
     that ray hits +Z — bit-matching `provider.rotate_to_center`.
 
@@ -21,11 +23,12 @@ vmap over the boxes of one frame; jit once per (H, W, npoints) shape.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -60,6 +63,23 @@ def depth_to_camera_points(depth: jnp.ndarray, K: jnp.ndarray
 _LANES = 128  # tile width for the two-level rank select
 
 
+@lru_cache(maxsize=None)
+def _slot_order(npoints: int) -> np.ndarray:
+    """Fixed pseudorandom permutation of output slots (compile-time).
+
+    Monotone slots would emit points sorted by pixel scan order, and
+    model_util.point_cloud_masking keeps the FIRST num_object_point
+    masked points in input order — so an object whose seg mask exceeds
+    that budget would feed the box head only its top-of-image slice
+    instead of a uniform subset (the host provider's np.random.choice
+    order is random). A fixed host-side permutation breaks the order at
+    zero runtime cost; a per-frustum cyclic offset on top (see
+    _select_prelude) decorrelates the order across frustums.
+    """
+    return np.random.RandomState(0x53A1).permutation(npoints).astype(
+        np.float32)
+
+
 def _select_prelude(inside: jnp.ndarray, npoints: int, u: jnp.ndarray):
     """Shared rank bookkeeping for the systematic select (one frustum).
 
@@ -92,8 +112,16 @@ def _select_prelude(inside: jnp.ndarray, npoints: int, u: jnp.ndarray):
     # 6-pass lowering; measured unusably slow through the axon relay.)
     lrank = jnp.where(insf > 0, in_tile, 0.0)        # [T, LANES] <= 128
 
-    slot = jnp.arange(npoints, dtype=jnp.float32)
-    want = 1.0 + jnp.floor((slot + u) * count / npoints)  # [np] monotone
+    # Shuffled slot order (fixed permutation + per-frustum cyclic
+    # offset from the phase u): the two-level fetch never needs
+    # monotone want, and downstream consumers that truncate in input
+    # order (point_cloud_masking) must not see scan-sorted points.
+    # All elementwise f32 integer arithmetic < 2^24 — exact; the
+    # explicit wrap avoids TPU's reciprocal-based jnp.mod.
+    perm = jnp.asarray(_slot_order(npoints))
+    slot = perm + jnp.floor(u * npoints)
+    slot = jnp.where(slot >= npoints, slot - npoints, slot)
+    want = 1.0 + jnp.floor((slot + u) * count / npoints)  # [np]
     want = jnp.minimum(want, jnp.maximum(count, 1.0))
     return lrank, tile_start, tile_end, want, count
 
@@ -197,15 +225,16 @@ def _select_systematic(pts: jnp.ndarray, inside: jnp.ndarray,
 
     Replaces the round-2 approx_max_k + 131k-row-gather sampler
     (VERDICT r02 item 3: the two remaining e2e costs). Slot i takes the
-    in-box point of cumulative rank 1 + floor((i + u) * count /
-    npoints) — a systematic (random-phase u in [0,1)) sample: uniform
-    marginal inclusion, without replacement when count >= npoints,
-    cyclic with-replacement coverage otherwise; identical in
-    expectation to the host provider's resample-with-replacement, and
-    deliberately monotone so selection becomes two one-hot MXU
-    contractions (tile search over T = N/128 tile offsets, then a lane
-    match) instead of a sort/top-k plus a scalar-unit gather
-    (~10 ns/row on TPU, CLAUDE.md lore).
+    in-box point of cumulative rank 1 + floor((s_i + u) * count /
+    npoints), s a shuffled slot order (_slot_order + cyclic offset) —
+    a systematic (random-phase u in [0,1)) sample: uniform marginal
+    inclusion, without replacement when count >= npoints, cyclic
+    with-replacement coverage otherwise; identical in expectation to
+    the host provider's resample-with-replacement, with non-scan-order
+    output like the host's np.random.choice. Ranks are selected by two
+    one-hot MXU contractions (tile search over T = N/128 tile offsets,
+    then a lane match) instead of a sort/top-k plus a scalar-unit
+    gather (~10 ns/row on TPU, CLAUDE.md lore).
 
     pts [N, C] f32 with N a multiple of 128; inside [N] bool.
     Returns (sampled [npoints, C], count). count == 0 yields zeros.

@@ -2007,6 +2007,16 @@ def _fgc_bwd(radius, nsample, eps, train, interpret, layout, schedule,
         # j = depth-2 step redoes the pool grad in-VMEM). Exact for
         # sdy; sdyx recovers the argmax row's z from pool_aux — exact
         # for rows (true z extrema), one f32 divide away for planar.
+        # Subgradient caveat (advisor, round 3): on bf16-rounding TIES
+        # (several rows' bf16 h equal to pooled) — and for a == 0
+        # channels, where zmin stands in regardless — this epilogue
+        # attributes the whole pool cotangent to the single z-extremum
+        # row, while the j = depth-2 in-kernel pool-grad redo
+        # tie-splits dy among all tied rows. Both are valid
+        # subgradients of max; the store schedule tie-splits both, so
+        # cached-vs-store gradients can differ at tied rows (parity
+        # tests pass at 2% rel tol). If exact store-path agreement is
+        # ever asserted, compute sdyx under the same tie-split rule.
         # T3D_PLANAR_TOP=store keeps the round-3 planar top pass for
         # A/B (the pool-grad redo once measured slower than the saved
         # dy stream, before the top pass itself was on the table).

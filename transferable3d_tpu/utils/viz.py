@@ -13,8 +13,13 @@ two replacements cover its roles:
 
 from __future__ import annotations
 
+import html as _html
 import json
 from typing import Optional, Sequence, Tuple
+
+
+def _html_escape(s: str) -> str:
+    return _html.escape(str(s), quote=True)
 
 import numpy as np
 
@@ -225,9 +230,12 @@ def export_html(points: np.ndarray,
         "center": np.round(center, 4).tolist(),
         "radius": max(radius, 1e-3),
     }
+    # Escape '<' in the embedded JSON so a '</script>' (or any tag) in a
+    # box label can't break out of the script element; HTML-escape the
+    # title for the same reason (advisor finding, round 3).
     html = (_HTML_TEMPLATE
-            .replace("__TITLE__", title)
-            .replace("__DATA__", json.dumps(data)))
+            .replace("__TITLE__", _html_escape(title))
+            .replace("__DATA__", json.dumps(data).replace("<", "\\u003c")))
     with open(path, "w") as f:
         f.write(html)
     return path
