@@ -234,6 +234,147 @@ def test_fp_parity(fp_setup):
 
 
 # ---------------------------------------------------------------------------
+# (a2) v2 TRAINING-mode SA-MSG twin (round-3 verdict item 8): grouped-BN
+# batch statistics over [B, S, K], the EMA running-stat update, and the
+# gradient of a scalar loss wrt every conv kernel / bias / BN affine —
+# the last effort-addressable parity gap (v2 was eval-only).
+# ---------------------------------------------------------------------------
+
+SA_BN_DECAY = 0.75
+
+
+@pytest.fixture(scope="module")
+def sa_msg_train_setup(tmp_path_factory):
+    rng = np.random.RandomState(11)
+    xyz = rng.uniform(-1.5, 1.5, (B, N, 3)).astype(np.float32)
+    feats = rng.normal(0, 1, (B, N, CF)).astype(np.float32)
+
+    weights, name_map = {}, {}
+    for si, mlp in enumerate(MLPS):
+        cin = 3 + CF
+        for li, cout in enumerate(mlp):
+            scope = f"layer1t/conv{si}_{li}"
+            _conv_vars(rng, scope, cin, cout, weights)
+            name_map[f"mlp_{si}/dense_{li}"] = scope
+            cin = cout
+    g_out = rng.normal(0, 1, (B, S, sum(m[-1] for m in MLPS))).astype(
+        np.float32)
+
+    fps_idx = np.asarray(farthest_point_sample(jnp.asarray(xyz), S))
+    centroids = np.take_along_axis(xyz, fps_idx[..., None], axis=1)
+
+    g = tf.Graph()
+    with g.as_default():
+        v = {n: tf.Variable(val, name=n) for n, val in weights.items()}
+        batch_moments = {}
+        outs = []
+        for si, (r, k, mlp) in enumerate(zip(RADII, NSAMPLES, MLPS)):
+            idx = _group_first_k_numpy(xyz, centroids, r, k)
+            gxyz = np.take_along_axis(
+                xyz[:, None], idx[..., None], axis=2)
+            gfeat = np.take_along_axis(
+                feats[:, None], idx[..., None], axis=2)
+            centered = gxyz - centroids[:, :, None, :]
+            x = tf.constant(
+                np.concatenate([centered, gfeat], -1).astype(np.float32))
+            for li in range(len(mlp)):
+                scope = f"layer1t/conv{si}_{li}"
+                x, moments = _tf_conv_bn_relu(x, v, scope, training=True)
+                batch_moments[scope] = moments
+            outs.append(tf.reduce_max(x, axis=2))
+        out = tf.concat(outs, axis=-1)
+        loss = tf.reduce_sum(out * tf.constant(g_out))
+        var_list = [var for name, var in v.items() if "moving" not in name]
+        grads = tf.gradients(loss, var_list)
+        with tf.compat.v1.Session(graph=g) as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            tf_out, tf_loss, tf_grads, tf_moments = sess.run(
+                [out, loss, grads, batch_moments])
+            ckpt = tf.compat.v1.train.Saver(var_list=v).save(
+                sess, str(tmp_path_factory.mktemp("tf1v2t") / "sat.ckpt"))
+    tf_grads = {var.name.split(":")[0]: g_
+                for var, g_ in zip(var_list, tf_grads)}
+
+    params, batch_stats = tf1_import.import_tf1_checkpoint(
+        ckpt, name_map=name_map, concat_conv=None, include_v1_map=False)
+    return (weights, xyz, feats, g_out, tf_out, tf_loss, tf_grads,
+            tf_moments, params, batch_stats)
+
+
+def test_sa_msg_train_mode_parity(sa_msg_train_setup):
+    (weights, xyz, feats, g_out, tf_out, tf_loss, tf_grads, tf_moments,
+     params, batch_stats) = sa_msg_train_setup
+    mod = SetAbstractionMSG(npoint=S, radii=RADII, nsamples=NSAMPLES,
+                            mlps=MLPS)
+
+    def loss_fn(p):
+        (new_xyz, out), upd = mod.apply(
+            {"params": p, "batch_stats": batch_stats},
+            jnp.asarray(xyz), jnp.asarray(feats), train=True,
+            bn_momentum=SA_BN_DECAY, mutable=["batch_stats"])
+        return jnp.sum(out * jnp.asarray(g_out)), (out, upd)
+
+    (our_loss, (out, upd)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+
+    # Forward parity in TRAIN mode: batch-stat BN over the grouped
+    # [B, S, K] axes, including the cyclic-wrap pad slots.
+    np.testing.assert_allclose(np.asarray(out), tf_out, rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_allclose(float(our_loss), tf_loss, rtol=1e-4)
+
+    # EMA running-stat update, per scale and layer.
+    new_stats = upd["batch_stats"]
+    checked = 0
+    for si, mlp in enumerate(MLPS):
+        for li in range(len(mlp)):
+            scope = f"layer1t/conv{si}_{li}"
+            node = new_stats[f"mlp_{si}"][f"bn_{li}"]
+            want_mean = (SA_BN_DECAY * weights[f"{scope}/bn/moving_mean"]
+                         + (1 - SA_BN_DECAY) * tf_moments[scope][0])
+            want_var = (SA_BN_DECAY
+                        * weights[f"{scope}/bn/moving_variance"]
+                        + (1 - SA_BN_DECAY) * tf_moments[scope][1])
+            np.testing.assert_allclose(np.asarray(node["mean"]),
+                                       want_mean, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(node["var"]),
+                                       want_var, rtol=1e-4, atol=1e-5)
+            checked += 1
+    assert checked == sum(len(m) for m in MLPS)
+
+    # Gradient parity leaf by leaf. Cosine + max-relative like the v1
+    # twin: the group max-pool can route near-tie gradients to a
+    # different K row between TF(oneDNN) and XLA.
+    def check(got, want, msg):
+        got, want = np.asarray(got), np.asarray(want)
+        cos = float((got * want).sum()
+                    / (np.linalg.norm(got) * np.linalg.norm(want) + 1e-30))
+        relmax = float(np.abs(got - want).max()
+                       / (np.abs(want).max() + 1e-30))
+        assert cos > 0.9999, (msg, cos)
+        assert relmax < 2e-2, (msg, relmax)
+
+    for si, mlp in enumerate(MLPS):
+        for li in range(len(mlp)):
+            scope = f"layer1t/conv{si}_{li}"
+            node = grads[f"mlp_{si}"][f"dense_{li}"]
+            gk = np.asarray(node["kernel"])
+            check(gk, tf_grads[f"{scope}/weights"].reshape(gk.shape),
+                  f"{scope} kernel grad")
+            # Conv biases feed straight into BN: the mean subtraction
+            # cancels them exactly — both sides' grads are ~zero. (Our
+            # dense_0 bias additionally cancels between pf and qc in
+            # the factored layer-1 path; same analytic zero.)
+            assert np.abs(np.asarray(node["bias"])).max() < 1e-3, scope
+            assert np.abs(tf_grads[f"{scope}/biases"]).max() < 1e-3
+            bn = grads[f"mlp_{si}"][f"bn_{li}"]
+            check(bn["scale"], tf_grads[f"{scope}/bn/gamma"],
+                  f"{scope} gamma grad")
+            check(bn["bias"], tf_grads[f"{scope}/bn/beta"],
+                  f"{scope} beta grad")
+
+
+# ---------------------------------------------------------------------------
 # (b) v1 training-mode: BN running-stat updates + gradients.
 # ---------------------------------------------------------------------------
 

@@ -124,9 +124,24 @@ def ball_query_group(centroids: jnp.ndarray, xyz: jnp.ndarray,
     when the payload is already bf16, e.g. the factored layer-1
     preactivations of models/pointnet2.GroupedPointMLP).
     """
+    if include_xyz:
+        src = (xyz if features is None
+               else jnp.concatenate([xyz, features.astype(xyz.dtype)], -1))
+    else:
+        src = features
+    _, _, _, count = _select_masks(centroids, xyz, radius, nsample)
+    grouped = _onehot_select(centroids, xyz, src, radius, nsample)
+    return grouped, count
+
+
+def _select_masks(centroids, xyz, radius, nsample):
+    """Selection bookkeeping shared by the one-hot select's forward and
+    backward (recomputed in bwd instead of storing K one-hots).
+
+    Returns (within [B, S, N] bool, rank [B, S, N] 1-based in-radius
+    cumrank, eff [B, S, 1] effective member count, count [B, S])."""
     d2 = pairwise_sqdist(centroids, xyz)  # [B, S, N]
-    r2 = radius * radius
-    within = d2 <= r2
+    within = d2 <= radius * radius
     count = jnp.sum(within.astype(jnp.int32), axis=-1)  # [B, S]
     rank = jnp.cumsum(within.astype(jnp.int32), axis=-1)  # 1-based
     # Empty balls: fall back to the nearest point (its rank stays 0, so
@@ -138,29 +153,90 @@ def ball_query_group(centroids: jnp.ndarray, xyz: jnp.ndarray,
     within = jnp.where(empty, is_nearest, within)
     rank = jnp.where(empty, is_nearest.astype(jnp.int32), rank)
     eff = jnp.maximum(jnp.minimum(count, nsample), 1)[..., None]  # [B,S,1]
+    return within, rank, eff, count
 
-    if include_xyz:
-        src = (xyz if features is None
-               else jnp.concatenate([xyz, features.astype(xyz.dtype)], -1))
-    else:
-        src = features
-    if src.dtype == jnp.bfloat16:
-        parts = [src]  # bf16 payload: the one-hot contraction is exact
-    else:
-        hi, lo = numerics.exact_hi_lo(src.astype(jnp.float32))
-        parts = [hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)]
+
+def _contraction_parts(x):
+    """Exact MXU operands for a one-hot contraction against f32 data.
+
+    On TPU the MXU rounds f32 operands to bf16, so f32 data is split
+    into exact bf16 hi + lo parts (core/numerics). Off TPU the dot is
+    f32-exact as-is — skipping the split there matters because the
+    hi/lo recombination truncates below ~2^-17 relative. bf16 data is
+    exact in one dot everywhere."""
+    if x.dtype == jnp.bfloat16:
+        return [x]
+    from transferable3d_tpu.models.layers import on_tpu
+    if not on_tpu():
+        return [x.astype(jnp.float32)]
+    hi, lo = numerics.exact_hi_lo(x.astype(jnp.float32))
+    return [hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _onehot_select(centroids, xyz, src, radius, nsample):
+    """Grouped src rows [B, S, K, C]: slot k of centroid s takes the
+    in-radius point of rank (k mod eff) + 1, via one-hot MXU
+    contractions. Differentiable wrt `src` only (the selection pattern
+    is piecewise constant in the coordinates; centroids/xyz get zero
+    cotangents, matching the gather form where d2 feeds comparisons).
+
+    The custom VJP exists for gradient EXACTNESS, not speed: AD through
+    the bf16 hi/lo forward forces the payload cotangent to bf16
+    (~0.8% relative rounding — broke the analytic zero of BN-fed bias
+    gradients, caught by the v2 train-mode TF1 twin). The backward
+    applies the same hi/lo trick to the COTANGENT on TPU and plain f32
+    contractions elsewhere."""
+    within, rank, eff, _ = _select_masks(centroids, xyz, radius, nsample)
+    parts = _contraction_parts(src)
+    ohdt = parts[0].dtype
 
     def step(carry, k):
         want = jnp.mod(k, eff) + 1  # cyclic repetition past the count
-        oh = (within & (rank == want)).astype(jnp.bfloat16)  # [B, S, N]
+        oh = (within & (rank == want)).astype(ohdt)  # [B, S, N]
         member = sum(
             jnp.einsum("bsn,bnc->bsc", oh, p,
                        preferred_element_type=jnp.float32) for p in parts)
         return carry, member.astype(src.dtype)
 
     _, out = jax.lax.scan(step, 0, jnp.arange(nsample))  # [K, B, S, C]
-    grouped = jnp.moveaxis(out, 0, 2)  # [B, S, K, C]
-    return grouped, count
+    return jnp.moveaxis(out, 0, 2)  # [B, S, K, C]
+
+
+def _onehot_select_fwd(centroids, xyz, src, radius, nsample):
+    out = _onehot_select(centroids, xyz, src, radius, nsample)
+    return out, (centroids, xyz)
+
+
+def _onehot_select_bwd(radius, nsample, res, ct):
+    # ct.dtype == out dtype == src dtype (forward casts to src.dtype).
+    centroids, xyz = res
+    src_dtype = ct.dtype
+    within, rank, eff, _ = _select_masks(centroids, xyz, radius, nsample)
+    ct_parts = [jnp.moveaxis(p, 2, 0)  # [K, B, S, C] for the scan
+                for p in _contraction_parts(ct)]
+    ohdt = ct_parts[0].dtype
+    b, n = xyz.shape[:2]
+    c = ct.shape[-1]
+
+    def step(dsrc, inp):
+        k, cts = inp[0], inp[1:]
+        want = jnp.mod(k, eff) + 1
+        oh = (within & (rank == want)).astype(ohdt)  # [B, S, N]
+        dk = sum(
+            jnp.einsum("bsn,bsc->bnc", oh, p,
+                       preferred_element_type=jnp.float32)
+            for p in cts)
+        return dsrc + dk, None
+
+    dsrc, _ = jax.lax.scan(
+        step, jnp.zeros((b, n, c), jnp.float32),
+        (jnp.arange(nsample), *ct_parts))
+    return (jnp.zeros_like(centroids), jnp.zeros_like(xyz),
+            dsrc.astype(src_dtype))
+
+
+_onehot_select.defvjp(_onehot_select_fwd, _onehot_select_bwd)
 
 
 # ---------------------------------------------------------------------------
