@@ -53,7 +53,8 @@ def run_one(variant: str, seed: int, args) -> dict:
     wf, wr, wp, ws, wsc, trust = weights[variant]
     log_dir = os.path.join(args.out_dir, f"{variant}_s{seed}")
     cfg = train_semisup.SemisupConfig(
-        model="frustum_pointnets_v1", num_point=args.num_point,
+        model=args.model, num_point=args.num_point,
+        per_class_diag=args.diag,
         num_channels=4, batch_size=args.batch_size,
         max_epoch=args.epochs, boxpc_epochs=args.boxpc_epochs,
         synthetic_train=args.train_size, synthetic_val=args.val_size,
@@ -88,7 +89,8 @@ def run_one(variant: str, seed: int, args) -> dict:
     aps = ap_lib.eval_det(test_lib.detections_to_eval_boxes(dets),
                           test_lib.groundtruth_boxes(weak_val, bins_cfg),
                           iou_thresh=0.25)
-    return {"variant": variant, "seed": seed, "mAP": aps["mAP"],
+    return {"variant": variant, "seed": seed, "model": cfg.model,
+            "mAP": aps["mAP"],
             "per_class": {k: v for k, v in aps.items() if k != "mAP"},
             "train_seconds": round(train_s, 1)}
 
@@ -102,6 +104,13 @@ def main():
     p.add_argument("--val_size", type=int, default=512)
     p.add_argument("--num_point", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--model", default="frustum_pointnets_v1",
+                   help="detector registry name (round-4: the v2 study"
+                        " — verdict item 6 — runs with"
+                        " frustum_pointnets_v2)")
+    p.add_argument("--diag", action="store_true",
+                   help="log per-class trust-gate/loss diagnostics to"
+                        " the run's metrics_train.csv (verdict item 9)")
     p.add_argument("--weak_weight", type=float, default=1.0)
     p.add_argument("--weak_warmup_steps", type=int, default=0)
     p.add_argument("--variants", default="transfer,control,no_fit,"

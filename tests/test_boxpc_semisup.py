@@ -127,6 +127,28 @@ def test_weak_losses_shapes_and_grads():
     # BoxPC itself received no gradient (it is frozen by construction —
     # not part of the differentiated params).
 
+    # Per-class diagnostics (round-3 verdict item 9): vectors of the
+    # right shape whose count-weighted means reproduce the batch
+    # scalars exactly.
+    ep = detector.apply(det_vars, batch["points"], batch["one_hot"],
+                        train=False)
+    diag = semisup.weak_losses(ep, batch, boxpc_model, boxpc_vars, CFG,
+                               diag_classes=CFG.num_classes)
+    nc = CFG.num_classes
+    cnt = np.asarray(diag["diag_count"])
+    assert cnt.shape == (nc,) and cnt.sum() == len(batch["class_idx"])
+    for key, scalar in [("diag_trust_frac", "weak_trust_frac"),
+                        ("diag_fit_loss", "weak_fit_loss"),
+                        ("diag_refine_loss", "weak_refine_loss")]:
+        v = np.asarray(diag[key])
+        assert v.shape == (nc,), key
+        np.testing.assert_allclose(
+            (v * cnt).sum() / cnt.sum(), float(diag[scalar]),
+            rtol=1e-5, err_msg=key)
+    for key in ["diag_dc_mag", "diag_ds_mag", "diag_dh_mag",
+                "diag_prior_dev"]:
+        assert np.asarray(diag[key]).shape == (nc,), key
+
 
 def test_semisup_step_runs_and_decreases():
     strong = _strong_batch(n=8, seed=3)
@@ -174,10 +196,15 @@ def test_semisup_driver_smoke(tmp_path):
         synthetic_train=32, synthetic_val=16, log_dir=str(tmp_path),
         eval_every_epochs=1, ckpt_every_epochs=1,
         strong_classes=("bed", "table", "sofa", "chair"),
-        weak_classes=("toilet", "desk"))
+        weak_classes=("toilet", "desk"), per_class_diag=True)
     out = train_semisup.train(cfg)
     assert np.isfinite(out.get("total_loss", 0.0))
     assert (tmp_path / "log_train.txt").exists()
+    # per_class_diag expands [num_classes] vectors into indexed CSV
+    # columns (verdict item 9 instrumentation).
+    header = (tmp_path / "metrics_train.csv").read_text().splitlines()[0]
+    assert "diag_trust_frac_0" in header
+    assert f"diag_count_{CFG.num_classes - 1}" in header
 
 
 def test_semisup_driver_device_data(tmp_path):

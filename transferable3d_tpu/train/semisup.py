@@ -268,26 +268,45 @@ def boxpc_trust_gate(out: Dict, box: boxpc_lib.BoxParams,
     """
     if not weights.trust_gate:
         return jnp.ones_like(out["fit_logit"])
-    scale = jnp.maximum(jnp.max(box.size, axis=-1), 0.1)
-    dc_mag = jnp.linalg.norm(out["delta_center"], axis=-1) / scale
-    ds_mag = jnp.max(jnp.abs(out["delta_size"]), axis=-1)
-    dh_mag = jnp.abs(out["delta_heading"])
-    ok = ((dc_mag <= weights.trust_center)
-          & (ds_mag <= weights.trust_size)
-          & (dh_mag <= weights.trust_heading))
+    comp = trust_gate_components(out, box, prior)
+    ok = ((comp["dc_mag"] <= weights.trust_center)
+          & (comp["ds_mag"] <= weights.trust_size)
+          & (comp["dh_mag"] <= weights.trust_heading))
     if prior is not None:
-        prior_dev = jnp.max(
+        ok = ok & (comp["prior_dev"] <= weights.trust_prior_logsize)
+    return jax.lax.stop_gradient(ok.astype(jnp.float32))
+
+
+def trust_gate_components(out: Dict, box: boxpc_lib.BoxParams,
+                          prior: jnp.ndarray | None = None) -> Dict:
+    """Per-example [B] magnitudes the trust gate thresholds on.
+
+    Exposed separately for the per-class diagnostics (round-3 verdict
+    item 9: which component starves a weak class of BoxPC gradient)."""
+    scale = jnp.maximum(jnp.max(box.size, axis=-1), 0.1)
+    comp = {
+        "dc_mag": jnp.linalg.norm(out["delta_center"], axis=-1) / scale,
+        "ds_mag": jnp.max(jnp.abs(out["delta_size"]), axis=-1),
+        "dh_mag": jnp.abs(out["delta_heading"]),
+    }
+    if prior is not None:
+        comp["prior_dev"] = jnp.max(
             jnp.abs(jnp.log(jnp.maximum(box.size, 1e-3) / prior)),
             axis=-1)
-        ok = ok & (prior_dev <= weights.trust_prior_logsize)
-    return jax.lax.stop_gradient(ok.astype(jnp.float32))
+    return comp
 
 
 def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
                 boxpc_variables, cfg: bins_lib.BinConfig,
-                weights: WeakLossWeights = WeakLossWeights()
-                ) -> Dict[str, jnp.ndarray]:
-    """Transferable supervision for weak (2D-only) examples."""
+                weights: WeakLossWeights = WeakLossWeights(),
+                diag_classes: int = 0) -> Dict[str, jnp.ndarray]:
+    """Transferable supervision for weak (2D-only) examples.
+
+    `diag_classes > 0` adds per-class `[diag_classes]` vectors (mean
+    over each class's batch members) of the gate pass rate, the gated
+    fit/refine losses, and every gate-component magnitude — the
+    instrumentation for diagnosing a weak class the gate starves
+    (round-3 verdict item 9: bookshelf)."""
     box = differentiable_box(end_points, cfg,
                              class_idx=batch.get("class_idx"))
     frozen = jax.lax.stop_gradient(boxpc_variables)
@@ -299,7 +318,8 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
 
     # (a) maximize BoxPC fit probability of the predicted box.
     logit = out["fit_logit"]
-    fit_loss = jnp.mean(gate * jax.nn.softplus(-logit))  # -log sigmoid
+    fit_ex = gate * jax.nn.softplus(-logit)  # -log sigmoid, [B]
+    fit_loss = jnp.mean(fit_ex)
 
     # (b) BoxPC-refined box as pseudo-label.
     refined = jax.lax.stop_gradient(boxpc_lib.apply_deltas(box, out))
@@ -320,10 +340,11 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
     # size prior and ride the size to the floor (round-3 collapse mode
     # (b) — see WeakLossWeights.trust_prior_logsize). Same minimum
     # (size == refined), bounded gradient (<= 1/prior).
-    refine_loss = jnp.mean(gate * (
+    refine_ex = gate * (
         huber_ex(box.center - refined.center)
         + huber_ex(box.heading - refined.heading)
-        + huber_ex((box.size - refined.size) / prior)))
+        + huber_ex((box.size - refined.size) / prior))
+    refine_loss = jnp.mean(refine_ex)
 
     # (c) 2D reprojection consistency: calib-exact corner projection for
     # examples that carry a camera matrix (KITTI; has_calib==1), the
@@ -358,7 +379,7 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
              + weights.reprojection * reproj_loss
              + weights.size_prior * size_prior_loss
              + weights.size_cls * size_cls_loss)
-    return {
+    losses = {
         "weak_total_loss": total,
         "weak_size_cls_loss": size_cls_loss,
         "weak_fit_loss": fit_loss,
@@ -368,6 +389,22 @@ def weak_losses(end_points: Dict, batch: Dict, boxpc_model,
         "weak_fit_prob": jnp.mean(jax.nn.sigmoid(logit)),
         "weak_trust_frac": jnp.mean(gate),
     }
+    if diag_classes:
+        oh = jax.nn.one_hot(batch["class_idx"], diag_classes,
+                            dtype=jnp.float32)  # [B, C]
+        cnt = jnp.maximum(jnp.sum(oh, axis=0), 1.0)  # [C]
+
+        def per_class(x):
+            return jnp.einsum("b,bc->c", x, oh) / cnt
+
+        comp = trust_gate_components(out, box, prior=prior)
+        losses.update(
+            diag_count=jnp.sum(oh, axis=0),
+            diag_trust_frac=per_class(gate),
+            diag_fit_loss=per_class(fit_ex),
+            diag_refine_loss=per_class(refine_ex),
+            **{f"diag_{k}": per_class(v) for k, v in comp.items()})
+    return losses
 
 
 # ---------------------------------------------------------------------------
@@ -388,7 +425,8 @@ def make_semisup_train_step(detector_model, boxpc_model,
                             weights: WeakLossWeights = WeakLossWeights(),
                             step_cfg: train_loop.StepConfig =
                             train_loop.StepConfig(),
-                            weak_warmup_steps: int = 0):
+                            weak_warmup_steps: int = 0,
+                            diag_classes: int = 0):
     """One jit: supervised loss on the strong batch + weak losses on the
     weak batch, single gradient step on the detector.
 
@@ -426,7 +464,7 @@ def make_semisup_train_step(detector_model, boxpc_model,
                 bn_momentum=bn_momentum, rngs={"dropout": r_weak},
                 mutable=["batch_stats"])
             wk = weak_losses(ep_w, weak, boxpc_model, boxpc_vars, cfg,
-                             weights)
+                             weights, diag_classes=diag_classes)
             w_eff = weak_weight
             if weak_warmup_steps > 0:
                 w_eff = weak_weight * jnp.clip(

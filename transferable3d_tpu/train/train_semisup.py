@@ -57,6 +57,10 @@ class SemisupConfig(config_lib.TrainConfig):
     weak_size_cls: float = 0.0
     # BoxPC trust-region gating (semisup.WeakLossWeights.trust_gate).
     weak_trust_gate: bool = True
+    # Per-class weak-loss diagnostics: log [num_classes] vectors of the
+    # gate pass rate, gated fit/refine losses, and gate-component
+    # magnitudes as diag_*_<i> CSV columns (semisup.weak_losses).
+    per_class_diag: bool = False
 
 
 def _filter(records, cfg: bins_lib.BinConfig, classes: Sequence[str]):
@@ -182,7 +186,8 @@ def train(cfg: SemisupConfig) -> dict:
             size_prior=cfg.weak_size_prior,
             size_cls=cfg.weak_size_cls,
             trust_gate=cfg.weak_trust_gate),
-        weak_warmup_steps=cfg.weak_warmup_steps)
+        weak_warmup_steps=cfg.weak_warmup_steps,
+        diag_classes=bins_cfg.num_classes if cfg.per_class_diag else 0)
     eval_step = train_loop.make_eval_step(detector, bins_cfg)
 
     ckpt = CheckpointManager(f"{cfg.log_dir}/ckpt")
@@ -246,7 +251,14 @@ def train(cfg: SemisupConfig) -> dict:
                 stop = True
                 break
         dt = time.time() - t0
-        m = {k: float(v) for k, v in metrics.items()}
+        m = {}
+        for k, v in metrics.items():
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                m[k] = float(arr)
+            else:  # per-class diagnostic vectors -> indexed columns
+                m.update({f"{k}_{i}": float(x)
+                          for i, x in enumerate(arr)})
         logger.log_metrics(int(state.detector.step), m, "train")
         logger.log_string(
             f"epoch {epoch}: step={int(state.detector.step)} "
