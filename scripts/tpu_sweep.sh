@@ -33,4 +33,11 @@ T3D_PLANAR_TOP=store timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
 echo "--- T3D_PLANAR_MIN_ROWS=2048 ---" >> $LOG
 T3D_PLANAR_MIN_ROWS=2048 timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
 
+echo "=== stage 5: per-kernel fused-SA profile (v2 residue) ===" >> $LOG
+timeout 2400 python scripts/profile_sa_kernels.py >> $LOG 2>&1
+
+echo "=== stage 6: profile diffs (verdict item 5 discrepancies) ===" >> $LOG
+timeout 2400 python scripts/profile_step.py v1 >> $LOG 2>&1
+timeout 2400 python scripts/profile_step.py v2 >> $LOG 2>&1
+
 echo "=== $(date -u) done ===" >> $LOG
