@@ -187,6 +187,40 @@ def test_semisup_step_runs_and_decreases():
         jax.tree_util.tree_leaves(boxpc_params_before)[0])
 
 
+def test_semisup_step_v2_backbone():
+    """The fused semisup step through the v2 (PointNet++) detector —
+    the backbone the round-4 transfer study runs (verdict item 6); only
+    v1 had ever taken the semisup path end-to-end."""
+    strong = _strong_batch(n=8, seed=5)
+    weak = _strong_batch(n=8, seed=6)
+    from transferable3d_tpu.models.frustum_pointnet_v2 import (
+        FrustumPointNetV2)
+
+    detector = FrustumPointNetV2(cfg=CFG, num_object_point=64)
+    boxpc_model = BoxPCFitNet(cfg=CFG)
+    lr = schedules.exponential_staircase_lr(base_lr=1e-3, batch_size=8)
+    bn = schedules.bn_momentum_schedule(batch_size=8)
+    tx = train_loop.make_optimizer(lr)
+    det_state = train_loop.create_train_state(detector, CFG, tx, strong,
+                                              seed=0)
+    boxpc_state = semisup.create_boxpc_state(
+        boxpc_model, CFG, train_loop.make_optimizer(lr), strong, seed=1)
+    state = semisup.SemisupState(
+        detector=det_state, boxpc_params=boxpc_state.params,
+        boxpc_batch_stats=boxpc_state.batch_stats)
+    step = semisup.make_semisup_train_step(
+        detector, boxpc_model, CFG, tx, lr, bn,
+        step_cfg=train_loop.StepConfig(compute_iou_metrics=False),
+        diag_classes=CFG.num_classes)
+    for _ in range(2):
+        state, metrics = step(state, strong, weak)
+    assert np.isfinite(float(metrics["combined_loss"]))
+    assert np.isfinite(float(metrics["weak_total_loss"]))
+    assert np.asarray(metrics["diag_trust_frac"]).shape == (
+        CFG.num_classes,)
+    assert int(state.detector.step) == 2
+
+
 def test_semisup_driver_smoke(tmp_path):
     from transferable3d_tpu.train import train_semisup
 
