@@ -41,3 +41,24 @@ timeout 2400 python scripts/profile_step.py v1 >> $LOG 2>&1
 timeout 2400 python scripts/profile_step.py v2 >> $LOG 2>&1
 
 echo "=== $(date -u) done ===" >> $LOG
+
+echo "=== stage 7: bookshelf-floor diagnosis (verdict item 9) ===" >> $LOG
+# Floor seeds 4,5 + healthy contrast 7 from transfer_study5.json, with
+# per-class trust-gate/loss CSV diagnostics. ~45 min on v1.
+timeout 5400 python scripts/transfer_study.py --seed_list 4,5,7 \
+  --epochs 150 --boxpc_epochs 40 --train_size 4096 --val_size 1024 \
+  --num_point 512 --batch_size 64 --weak_warmup_steps 2000 --diag \
+  --variants transfer --out_dir /tmp/transfer_diag \
+  --out_json transfer_diag_bookshelf.json >> $LOG 2>&1
+
+echo "=== stage 8: v2-backbone 8v8 transfer study (verdict item 6) ===" >> $LOG
+# Same protocol as study5 but --model frustum_pointnets_v2; seed-major
+# loop + incremental json means a cut-off still yields balanced data.
+timeout 28800 python scripts/transfer_study.py --seeds 8 \
+  --epochs 150 --boxpc_epochs 40 --train_size 4096 --val_size 1024 \
+  --num_point 512 --batch_size 64 --weak_warmup_steps 2000 --diag \
+  --model frustum_pointnets_v2 --variants transfer,control \
+  --out_dir /tmp/transfer_study6 \
+  --out_json transfer_study6.json >> $LOG 2>&1
+
+echo "=== $(date -u) queue2 done ===" >> $LOG

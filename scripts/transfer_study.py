@@ -115,6 +115,10 @@ def main():
     p.add_argument("--weak_warmup_steps", type=int, default=0)
     p.add_argument("--variants", default="transfer,control,no_fit,"
                                          "no_refine,no_reproj,no_prior")
+    p.add_argument("--seed_list", default=None,
+                   help="comma-separated explicit seeds (overrides"
+                        " --seeds), e.g. the bookshelf-floor seeds 4,5"
+                        " plus healthy contrast 7 for the diag runs")
     p.add_argument("--out_dir", default="/tmp/transfer_study")
     p.add_argument("--out_json", default="transfer_study.json")
     args = p.parse_args()
@@ -124,8 +128,12 @@ def main():
     if os.path.exists(args.out_json):  # resume
         results = json.load(open(args.out_json))
     done = {(r["variant"], r["seed"]) for r in results}
-    for variant in args.variants.split(","):
-        for seed in range(args.seeds):
+    seeds = ([int(s) for s in args.seed_list.split(",")]
+             if args.seed_list else list(range(args.seeds)))
+    # Seed-major so an interrupted unattended run leaves a BALANCED
+    # partial artifact (every finished seed has all its variants).
+    for seed in seeds:
+        for variant in args.variants.split(","):
             if (variant, seed) in done:
                 continue
             r = run_one(variant, seed, args)
