@@ -1,23 +1,32 @@
 #!/bin/bash
-# Fired when the TPU relay returns. Appends to /tmp/tpu_sweep.log.
-# Ordered by artifact importance (round may end mid-run).
+# Fired (possibly unattended, by the /tmp watcher) when the TPU relay
+# returns. Ordered by artifact importance — the round may end mid-run,
+# and the driver commits whatever is in the repo, so EVERY artifact
+# (including this log) is written inside /root/repo.
 set -x
 cd /root/repo
-LOG=/tmp/tpu_sweep.log
+mkdir -p artifacts
+LOG=/root/repo/artifacts/tpu_sweep_r4.log
+ln -sf $LOG /tmp/tpu_sweep.log   # keep the documented tail path working
 echo "=== $(date -u) start ===" >> $LOG
 
 echo "=== stage 0: kernel validation ===" >> $LOG
-timeout 3000 python scripts/validate_sa_tpu.py >> $LOG 2>&1 || {
-  echo "VALIDATION FAILED" >> $LOG; exit 1; }
+if ! timeout 3000 python scripts/validate_sa_tpu.py >> $LOG 2>&1; then
+  # Non-fatal: v1/e2e benches don't touch the fused-SA kernels, and the
+  # per-mode timeouts in bench.py --all survive a broken v2 path. Apply
+  # the documented Mosaic fallback for the rest of the run.
+  echo "VALIDATION FAILED — continuing with T3D_PLANAR_TOP=store fallback" >> $LOG
+  export T3D_PLANAR_TOP=store
+fi
 
 echo "=== stage 1: v2 train bench ===" >> $LOG
 T3D_MODEL=v2 timeout 2400 python bench.py >> $LOG 2>&1
 
-echo "=== stage 2: per-stage timings ===" >> $LOG
-timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
-
-echo "=== stage 3: all-mode bench artifact ===" >> $LOG
+echo "=== stage 2: all-mode bench artifact ===" >> $LOG
 timeout 6000 python bench.py --all >> $LOG 2>&1
+
+echo "=== stage 3: per-stage timings ===" >> $LOG
+timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
 
 echo "=== stage 4: chain-rows / extract sweeps ===" >> $LOG
 for ROWS in 8192 16384; do
@@ -40,7 +49,7 @@ echo "=== stage 6: profile diffs (verdict item 5 discrepancies) ===" >> $LOG
 timeout 2400 python scripts/profile_step.py v1 >> $LOG 2>&1
 timeout 2400 python scripts/profile_step.py v2 >> $LOG 2>&1
 
-echo "=== $(date -u) done ===" >> $LOG
+echo "=== $(date -u) sweep done ===" >> $LOG
 
 echo "=== stage 7: bookshelf-floor diagnosis (verdict item 9) ===" >> $LOG
 # Floor seeds 4,5 + healthy contrast 7 from transfer_study5.json, with
@@ -50,6 +59,12 @@ timeout 5400 python scripts/transfer_study.py --seed_list 4,5,7 \
   --num_point 512 --batch_size 64 --weak_warmup_steps 2000 --diag \
   --variants transfer --out_dir /tmp/transfer_diag \
   --out_json transfer_diag_bookshelf.json >> $LOG 2>&1
+# Run dirs hold orbax checkpoints (too big for the repo) — preserve
+# just the per-class diagnostic CSVs as committed artifacts.
+for d in /tmp/transfer_diag/*/; do
+  n=$(basename "$d")
+  cp "$d"/metrics_train.csv "artifacts/diag_${n}_metrics.csv" 2>/dev/null
+done
 
 echo "=== stage 8: v2-backbone 8v8 transfer study (verdict item 6) ===" >> $LOG
 # Same protocol as study5 but --model frustum_pointnets_v2; seed-major
@@ -60,5 +75,9 @@ timeout 28800 python scripts/transfer_study.py --seeds 8 \
   --model frustum_pointnets_v2 --variants transfer,control \
   --out_dir /tmp/transfer_study6 \
   --out_json transfer_study6.json >> $LOG 2>&1
+for d in /tmp/transfer_study6/*/; do
+  n=$(basename "$d")
+  cp "$d"/metrics_train.csv "artifacts/study6_${n}_metrics.csv" 2>/dev/null
+done
 
 echo "=== $(date -u) queue2 done ===" >> $LOG
