@@ -6,10 +6,15 @@
 set -x
 cd /root/repo
 mkdir -p artifacts
+# Optional stage window: tpu_sweep.sh [FIRST_STAGE [LAST_STAGE]]
+FIRST=${1:-0}
+LAST=${2:-8}
+run_stage() { [ "$1" -ge "$FIRST" ] && [ "$1" -le "$LAST" ]; }
 LOG=/root/repo/artifacts/tpu_sweep_r4.log
 ln -sf $LOG /tmp/tpu_sweep.log   # keep the documented tail path working
 echo "=== $(date -u) start ===" >> $LOG
 
+if run_stage 0; then
 echo "=== stage 0: kernel validation ===" >> $LOG
 if ! timeout 3000 python scripts/validate_sa_tpu.py >> $LOG 2>&1; then
   # Non-fatal: v1/e2e benches don't touch the fused-SA kernels, and the
@@ -18,16 +23,24 @@ if ! timeout 3000 python scripts/validate_sa_tpu.py >> $LOG 2>&1; then
   echo "VALIDATION FAILED — continuing with T3D_PLANAR_TOP=store fallback" >> $LOG
   export T3D_PLANAR_TOP=store
 fi
+fi
 
+if run_stage 1; then
 echo "=== stage 1: v2 train bench ===" >> $LOG
 T3D_MODEL=v2 timeout 2400 python bench.py >> $LOG 2>&1
+fi
 
+if run_stage 2; then
 echo "=== stage 2: all-mode bench artifact ===" >> $LOG
 timeout 6000 python bench.py --all >> $LOG 2>&1
+fi
 
+if run_stage 3; then
 echo "=== stage 3: per-stage timings ===" >> $LOG
 timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
+fi
 
+if run_stage 4; then
 echo "=== stage 4: chain-rows / extract sweeps ===" >> $LOG
 for ROWS in 8192 16384; do
   echo "--- T3D_SA_CHAIN_ROWS=$ROWS ---" >> $LOG
@@ -41,16 +54,22 @@ echo "--- T3D_PLANAR_TOP=store ---" >> $LOG
 T3D_PLANAR_TOP=store timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
 echo "--- T3D_PLANAR_MIN_ROWS=2048 ---" >> $LOG
 T3D_PLANAR_MIN_ROWS=2048 timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
+fi
 
+if run_stage 5; then
 echo "=== stage 5: per-kernel fused-SA profile (v2 residue) ===" >> $LOG
 timeout 2400 python scripts/profile_sa_kernels.py >> $LOG 2>&1
+fi
 
+if run_stage 6; then
 echo "=== stage 6: profile diffs (verdict item 5 discrepancies) ===" >> $LOG
 timeout 2400 python scripts/profile_step.py v1 >> $LOG 2>&1
 timeout 2400 python scripts/profile_step.py v2 >> $LOG 2>&1
+fi
 
-echo "=== $(date -u) sweep done ===" >> $LOG
+echo "=== $(date -u) sweep done (stages $FIRST..$LAST) ===" >> $LOG
 
+if run_stage 7; then
 echo "=== stage 7: bookshelf-floor diagnosis (verdict item 9) ===" >> $LOG
 # Floor seeds 4,5 + healthy contrast 7 from transfer_study5.json, with
 # per-class trust-gate/loss CSV diagnostics. ~45 min on v1.
@@ -65,7 +84,9 @@ for d in /tmp/transfer_diag/*/; do
   n=$(basename "$d")
   cp "$d"/metrics_train.csv "artifacts/diag_${n}_metrics.csv" 2>/dev/null
 done
+fi
 
+if run_stage 8; then
 echo "=== stage 8: v2-backbone 8v8 transfer study (verdict item 6) ===" >> $LOG
 # Same protocol as study5 but --model frustum_pointnets_v2; seed-major
 # loop + incremental json means a cut-off still yields balanced data.
@@ -79,5 +100,6 @@ for d in /tmp/transfer_study6/*/; do
   n=$(basename "$d")
   cp "$d"/metrics_train.csv "artifacts/study6_${n}_metrics.csv" 2>/dev/null
 done
+fi
 
 echo "=== $(date -u) queue2 done ===" >> $LOG
