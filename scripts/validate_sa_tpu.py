@@ -14,6 +14,10 @@ import jax, jax.numpy as jnp
 print(jax.devices(), flush=True)
 from transferable3d_tpu.ops import fused_sa
 
+
+def _np32(x):
+    return jnp.asarray(x).astype(jnp.float32)
+
 B, N = 128, 1024
 # (S, K, feats, radius, layout_expected)
 CONFIGS = [
@@ -59,7 +63,7 @@ for (s, k, feats, radius) in CONFIGS:
     layout = rows_for(s, k, feats)
     cent, xyz, pf, qc, gammas, betas, ws, bs = make(s, k, feats, 0)
 
-    def loss(args, train):
+    def pooled_of(args, train):
         pf_, qc_, ws_, bs_ = args
         out = fused_sa.fused_grouped_chain(
             cent, xyz, pf_, qc_, gammas, betas, ws_, bs_, radius, k,
@@ -67,18 +71,33 @@ for (s, k, feats, radius) in CONFIGS:
             None if train else tuple((jnp.zeros((f,)), jnp.ones((f,)))
                                      for f in feats),
             False, layout, "cached")
-        return jnp.sum(out[0].astype(jnp.float32))
+        return out[0]
+
+    def loss(args, train):
+        return jnp.sum(pooled_of(args, train).astype(jnp.float32))
 
     args = (pf, qc, ws, bs)
     # primal eval (no grad) exercises the single-pass inference kernel
     t0 = time.time()
-    pe = jax.jit(lambda a: loss(a, False))
-    v = jax.block_until_ready(pe(args))
-    assert bool(jnp.isfinite(v)), (s, k, feats, "infer nonfinite")
+    pe = jax.jit(lambda a: pooled_of(a, False))
+    p_infer = jax.block_until_ready(pe(args))
+    assert bool(jnp.all(jnp.isfinite(p_infer))), (s, k, feats,
+                                                  "infer nonfinite")
     print(f"S={s} K={k} feats={feats} {layout} INFER single-pass: "
-          f"loss={float(v):.1f} compile+run {time.time()-t0:.1f}s ok",
-          flush=True)
-    infer_v = float(v)
+          f"loss={float(jnp.sum(_np32(p_infer))):.1f} "
+          f"compile+run {time.time()-t0:.1f}s ok", flush=True)
+    # The exactness claim is BITWISE equality of the inference kernel's
+    # pooled vs the multi-pass differentiable path (jax.vjp primal runs
+    # the custom-VJP fwd = the multi-pass schedule). Scalar loss sums
+    # are NOT comparable at 1e-5: XLA reduces 5e5 f32 terms in
+    # program-dependent order (measured rel ~1.4e-5 on bit-identical
+    # pooled at S=32 K=64).
+    p_eval, _ = jax.vjp(jax.jit(lambda a: pooled_of(a, False)), args)
+    p_eval = jax.block_until_ready(p_eval)
+    n_bad = int(jnp.sum(_np32(p_infer) != _np32(p_eval)))
+    assert n_bad == 0, ("infer vs eval pooled mismatch", n_bad,
+                        float(jnp.max(jnp.abs(_np32(p_infer)
+                                              - _np32(p_eval)))))
     for train in (True, False):
         t0 = time.time()
         g = jax.jit(jax.value_and_grad(lambda a: loss(a, train)))
@@ -87,16 +106,19 @@ for (s, k, feats, radius) in CONFIGS:
         bad = [float(jnp.max(jnp.abs(x))) for x in flat
                if not bool(jnp.all(jnp.isfinite(x)))]
         assert not bad, (s, k, feats, train, "nonfinite grads")
-        if not train:
-            rel = abs(float(v) - infer_v) / max(1.0, abs(infer_v))
-            assert rel < 1e-5, ("infer vs grad-path eval", infer_v,
-                                float(v))
         print(f"S={s} K={k} feats={feats} {layout} train={train}: "
               f"loss={float(v):.1f} compile+run {time.time()-t0:.1f}s ok",
               flush=True)
 
-# numeric cross-check at seg-SA1 scale b vs unfused (on TPU)
-from transferable3d_tpu.models import pointnet2
+# Numeric cross-check at a small config: fused grads ON TPU vs the
+# unfused reference formulation ON CPU. The reference deliberately runs
+# on the host backend: the unfused XLA one-hot scan MIS-EXECUTES on the
+# axon TPU backend when fused with reduction-only consumers (round-4
+# finding — primal BN var 6.57 vs true 10.66 in-context yet bit-correct
+# standalone; grad rel error 53x, unchanged by an optimization_barrier
+# on the forward, so the backward scan is corrupt too). CPU execution
+# is the trusted baseline (185-test parity lattice); production model
+# paths use the Pallas extraction kernels, never this scan, on TPU.
 s, k, feats, radius = 16, 32, (16, 24, 40), 0.6   # small for unfused speed
 cent, xyz, pf, qc, gammas, betas, ws, bs = make(s, k, feats, 3)
 from transferable3d_tpu.ops.grouping import ball_query_group
@@ -120,6 +142,10 @@ def unfused(args):
     return jnp.sum(jnp.max(x, axis=2).astype(jnp.float32))
 
 args = (pf, qc, ws, bs)
+cpu0 = jax.devices("cpu")[0]
+with jax.default_device(cpu0):
+    args_cpu = jax.device_put(args, cpu0)
+    gr = jax.block_until_ready(jax.jit(jax.grad(unfused))(args_cpu))
 for layout in ("rows", "planar"):
     def fused(a):
         pf_, qc_, ws_, bs_ = a
@@ -127,7 +153,6 @@ for layout in ("rows", "planar"):
             cent, xyz, pf_, qc_, gammas, betas, ws_, bs_, radius, k,
             1e-3, True, None, False, layout, "cached")
         return jnp.sum(out[0].astype(jnp.float32))
-    gr = jax.jit(jax.grad(unfused))(args)
     gn = jax.jit(jax.grad(fused))(args)
     names = ["pf", "qc", "ws", "bs"]
     for nm, a, b in zip(names, gr, gn):
@@ -138,5 +163,6 @@ for layout in ("rows", "planar"):
             x = np.asarray(x, np.float32); y = np.asarray(y, np.float32)
             rel = np.linalg.norm(x - y) / max(1e-6, np.linalg.norm(x))
             assert rel < 0.03, (layout, nm, rel)
-    print(f"cross-check {layout}: grads match unfused on TPU", flush=True)
+    print(f"cross-check {layout}: TPU fused grads match the CPU "
+          f"unfused reference", flush=True)
 print("ALL TPU VALIDATION PASSED", flush=True)

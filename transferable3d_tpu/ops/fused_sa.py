@@ -75,6 +75,23 @@ def _f32(x):
     return x.astype(jnp.float32)
 
 
+def _bf16_round(x):
+    """Round f32 -> nearest-even bf16, kept in f32 — IN-KERNEL twin of
+    lax.reduce_precision(x, 8, 7), which Mosaic refuses to lower
+    (NotImplementedError: reduce_precision, KernelType.TC; hit on the
+    first round-4 TPU validation). Bit-twiddled RNE on the u32 view so
+    no convert-folding pass can ever elide it (the round-3 trap: a
+    bf16 cast consumed only by f32 math is removed by XLA's
+    excess-precision pass). Probe-verified on v5e Mosaic: legalizes and
+    is bit-exact vs reduce_precision (scripts/probe_bf16_round.py).
+    NaN payloads may differ from hardware casts; inputs here are finite.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    r = (u + jnp.uint32(0x7FFF) + ((u >> jnp.uint32(16)) & jnp.uint32(1))) \
+        & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(r, jnp.float32)
+
+
 def _bf16(x):
     return x.astype(jnp.bfloat16)
 
@@ -691,13 +708,11 @@ def _infer_kernel(r2, k, f0, depth, ct, pt, tri, pay, qc, *refs):
     g = jnp.dot(oh, pay[0], preferred_element_type=jnp.float32)
     # g and qc_rep are exactly bf16-valued (one-hot selection of bf16
     # payload; bf16 qc), so the stored-z1 semantics reduce to rounding
-    # their f32 difference. The rounding must be reduce_precision: a
-    # bf16 cast consumed only by f32 math is ELIDED (excess-precision
-    # simplification — same trap as core/numerics.exact_hi_lo), which
-    # would run the whole chain on unrounded z1 and break bit-parity
-    # with the multi-pass schedules.
-    z1 = jax.lax.reduce_precision(g - _expand_rows(qc, k),
-                                  exponent_bits=8, mantissa_bits=7)
+    # their f32 difference. The rounding must be elision-proof (a bf16
+    # cast consumed only by f32 math is ELIDED — same trap as
+    # core/numerics.exact_hi_lo) AND Mosaic-legal (reduce_precision is
+    # not): _bf16_round is both.
+    z1 = _bf16_round(g - _expand_rows(qc, k))
     _, hs = _chain_all(z1, packs, ws, bs)
     h = hs[-1]
     pooled[0] = jnp.max(h.reshape(s_ch, k, h.shape[-1]), axis=1)
@@ -713,9 +728,8 @@ def _infer_kernel_p(r2, k, f0, depth, ct, pt, tri, payt, qc, *refs):
     g = jax.lax.dot_general(
         payt[0], oh, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # [F0, rows]
-    # reduce_precision rounding: see _infer_kernel.
-    z1 = jax.lax.reduce_precision(g - _rep_cols(qc, s_ch, k),
-                                  exponent_bits=8, mantissa_bits=7)
+    # elision-proof in-kernel rounding: see _infer_kernel.
+    z1 = _bf16_round(g - _rep_cols(qc, s_ch, k))
     _, hs = _chain_all_p(z1, packs, ws, bs)
     hmax = _seg_max_lanes(_f32(hs[-1]), k)
     pooled[0] = jax.lax.dot_general(
@@ -1084,9 +1098,8 @@ def _fwd_pool_ymax_kernel_cp(k, f, z_last, pack, pooled, ymax):
     a, c = pack[:, 0:1], pack[:, 1:2]
     y = _f32(z_last[0]) * a + c
     ym = _seg_max_lanes(y, k)
-    hi = jax.lax.reduce_precision(ym, exponent_bits=8, mantissa_bits=7)
-    lo = jax.lax.reduce_precision(ym - hi, exponent_bits=8,
-                                  mantissa_bits=7)
+    hi = _bf16_round(ym)
+    lo = _bf16_round(ym - hi)
     sel = _sel_matrix(s_ch, k)
     dims = (((1,), (1,)), ((), ()))
     phi = jax.lax.dot_general(sel, hi, dimension_numbers=dims,
