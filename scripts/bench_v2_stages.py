@@ -50,6 +50,18 @@ def bench_module(name, mod, *inputs):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", default="",
+                    help="comma-separated stage-name substrings to run "
+                         "(empty = all); e.g. --stages seg_sa,box_sa "
+                         "for knob sweeps that only move the SA kernels")
+    cli = ap.parse_args()
+    wanted = [s for s in cli.stages.split(",") if s]
+
+    def skip(name):
+        return wanted and not any(w in name for w in wanted)
+
     rng = np.random.RandomState(0)
 
     def mk(n, c):

@@ -36,7 +36,8 @@ def one_scale(rng, k, feats, schedule):
     xyz = jnp.asarray(rng.uniform(-2, 2, (B, N, 3)).astype(np.float32))
     pf = jnp.asarray(rng.uniform(-1, 1, (B, N, f1)).astype(np.float32)
                      ).astype(jnp.bfloat16)
-    qc = jnp.asarray(rng.uniform(-1, 1, (B, S, f1)).astype(np.float32))
+    qc = jnp.asarray(rng.uniform(-1, 1, (B, S, f1)).astype(np.float32)
+                     ).astype(jnp.bfloat16)  # production dtype (bf16)
     gammas = tuple(jnp.ones((f,), jnp.float32) for f in feats)
     betas = tuple(jnp.zeros((f,), jnp.float32) for f in feats)
     ws = tuple(jnp.asarray(rng.normal(0, 0.1, (feats[i], feats[i + 1]))

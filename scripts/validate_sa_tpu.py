@@ -31,14 +31,27 @@ CONFIGS = [
 ]
 
 
-def make(s, k, feats, seed):
+def make(s, k, feats, seed, integer=False):
     rng = np.random.RandomState(seed)
     f0 = feats[0]
     cent = jnp.asarray(rng.uniform(-2, 2, (B, s, 3)).astype(np.float32))
     xyz = jnp.asarray(rng.uniform(-2, 2, (B, N, 3)).astype(np.float32))
-    pf = jnp.asarray(rng.uniform(-1, 1, (B, N, f0)).astype(np.float32)
-                     ).astype(jnp.bfloat16)
-    qc = jnp.asarray(rng.uniform(-1, 1, (B, s, f0)).astype(np.float32))
+    if integer:
+        # Integer payloads are exactly bf16-representable: batch stats,
+        # z, and cotangent roundings are all exact, so cross-impl
+        # gradient comparison is tight (tests/test_fused_sa.py pattern).
+        pf = jnp.asarray(rng.randint(-4, 5, (B, N, f0)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+        qc = jnp.asarray(rng.randint(-2, 3, (B, s, f0)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+    else:
+        pf = jnp.asarray(rng.uniform(-1, 1, (B, N, f0)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+        # bf16, as in production (GroupedPointMLP computes qc in model
+        # dtype; the fused path only engages at dtype==bf16 — an f32 qc
+        # is out-of-contract, see the fused_grouped_chain docstring).
+        qc = jnp.asarray(rng.uniform(-1, 1, (B, s, f0)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
     gammas = tuple(jnp.asarray(rng.uniform(0.5, 1.5, (f,)).astype(np.float32))
                    for f in feats)
     betas = tuple(jnp.asarray(rng.uniform(-.3, .3, (f,)).astype(np.float32))
@@ -119,50 +132,83 @@ for (s, k, feats, radius) in CONFIGS:
 # on the forward, so the backward scan is corrupt too). CPU execution
 # is the trusted baseline (185-test parity lattice); production model
 # paths use the Pallas extraction kernels, never this scan, on TPU.
+#
+# Tolerance design (round-4 diagnosis, scripts/diag_arbitrate.py run):
+# with CONTINUOUS bf16 payloads, dpf/dqc comparisons between ANY two
+# formulations carry a multi-percent band — JAX cotangents of bf16
+# primals are bf16, so every implementation rounds dy at different
+# program points, and the pool's bf16 tie sets redistribute whole dy
+# quanta across points. Measured on bit-identical forwards (z1 and
+# eval-mode pooled bitwise equal): gather-vs-onehot XLA autodiff 1.6%,
+# fused-vs-either ~7% on dpf, while dW stays at 0.3%. So: strict
+# thresholds on INTEGER payloads (exactly bf16-representable - exact
+# stats, exact cotangents; same design as tests/test_fused_sa.py), and
+# a direction-only cosine bound on continuous payloads.
 s, k, feats, radius = 16, 32, (16, 24, 40), 0.6   # small for unfused speed
-cent, xyz, pf, qc, gammas, betas, ws, bs = make(s, k, feats, 3)
 from transferable3d_tpu.ops.grouping import ball_query_group
 
-def unfused(args):
-    pf_, qc_, ws_, bs_ = args
-    grouped, _ = ball_query_group(cent, xyz, pf_, radius, k,
-                                  include_xyz=False)
-    x = grouped - qc_[:, :, None, :]
-    for i in range(len(feats)):
-        xf = x.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.mean(xf * xf, axis=(0, 1, 2)) - mu * mu
-        r = jax.lax.rsqrt(var + 1e-3)
-        a = gammas[i] * r
-        y = (xf * a + (betas[i] - mu * a)).astype(jnp.bfloat16)
-        h = jnp.maximum(y, jnp.bfloat16(0))
-        x = ((jnp.dot(h, ws_[i].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32) + bs_[i]
-              ).astype(jnp.bfloat16) if i < len(feats) - 1 else h)
-    return jnp.sum(jnp.max(x, axis=2).astype(jnp.float32))
-
-args = (pf, qc, ws, bs)
 cpu0 = jax.devices("cpu")[0]
-with jax.default_device(cpu0):
-    args_cpu = jax.device_put(args, cpu0)
-    gr = jax.block_until_ready(jax.jit(jax.grad(unfused))(args_cpu))
-for layout in ("rows", "planar"):
-    def fused(a):
-        pf_, qc_, ws_, bs_ = a
-        out = fused_sa.fused_grouped_chain(
-            cent, xyz, pf_, qc_, gammas, betas, ws_, bs_, radius, k,
-            1e-3, True, None, False, layout, "cached")
-        return jnp.sum(out[0].astype(jnp.float32))
-    gn = jax.jit(jax.grad(fused))(args)
-    names = ["pf", "qc", "ws", "bs"]
-    for nm, a, b in zip(names, gr, gn):
-        for x, y in zip(jax.tree_util.tree_leaves(a),
-                        jax.tree_util.tree_leaves(b)):
-            if nm == "bs":
-                continue  # analytically-zero noise
-            x = np.asarray(x, np.float32); y = np.asarray(y, np.float32)
-            rel = np.linalg.norm(x - y) / max(1e-6, np.linalg.norm(x))
-            assert rel < 0.03, (layout, nm, rel)
-    print(f"cross-check {layout}: TPU fused grads match the CPU "
-          f"unfused reference", flush=True)
+names = ["pf", "qc", "ws", "bs"]
+
+
+def run_cross_check(integer):
+    cent, xyz, pf, qc, gammas, betas, ws, bs = make(s, k, feats, 3,
+                                                    integer=integer)
+
+    def unfused(args):
+        pf_, qc_, ws_, bs_ = args
+        grouped, _ = ball_query_group(cent, xyz, pf_, radius, k,
+                                      include_xyz=False)
+        x = grouped - qc_[:, :, None, :]
+        for i in range(len(feats)):
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(xf * xf, axis=(0, 1, 2)) - mu * mu
+            r = jax.lax.rsqrt(var + 1e-3)
+            a = gammas[i] * r
+            y = (xf * a + (betas[i] - mu * a)).astype(jnp.bfloat16)
+            h = jnp.maximum(y, jnp.bfloat16(0))
+            x = ((jnp.dot(h, ws_[i].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32) + bs_[i]
+                  ).astype(jnp.bfloat16) if i < len(feats) - 1 else h)
+        return jnp.sum(jnp.max(x, axis=2).astype(jnp.float32))
+
+    args = (pf, qc, ws, bs)
+    with jax.default_device(cpu0):
+        args_cpu = jax.device_put(args, cpu0)
+        gr = jax.block_until_ready(jax.jit(jax.grad(unfused))(args_cpu))
+    for layout in ("rows", "planar"):
+        def fused(a):
+            pf_, qc_, ws_, bs_ = a
+            out = fused_sa.fused_grouped_chain(
+                cent, xyz, pf_, qc_, gammas, betas, ws_, bs_, radius, k,
+                1e-3, True, None, False, layout, "cached")
+            return jnp.sum(out[0].astype(jnp.float32))
+        gn = jax.jit(jax.grad(fused))(args)
+        for nm, a, b in zip(names, gr, gn):
+            for x, y in zip(jax.tree_util.tree_leaves(a),
+                            jax.tree_util.tree_leaves(b)):
+                if nm == "bs":
+                    continue  # analytically-zero noise
+                x = np.asarray(x, np.float32)
+                y = np.asarray(y, np.float32)
+                nx = max(1e-6, float(np.linalg.norm(x)))
+                ny = max(1e-6, float(np.linalg.norm(y)))
+                rel = float(np.linalg.norm(x - y)) / nx
+                cos = float(np.dot(x.ravel(), y.ravel())) / (nx * ny)
+                if integer:
+                    assert rel < 0.02, ("int", layout, nm, rel)
+                else:
+                    # bf16-cotangent band (see header): direction only
+                    # for pf/qc; dW averages the noise out.
+                    bound = 0.05 if nm == "ws" else 0.15
+                    assert rel < bound, ("cont", layout, nm, rel)
+                    assert cos > 0.99, ("cont", layout, nm, cos)
+        kind = "integer/strict" if integer else "continuous/direction"
+        print(f"cross-check {layout} ({kind}): TPU fused grads match "
+              f"the CPU unfused reference", flush=True)
+
+
+run_cross_check(integer=True)
+run_cross_check(integer=False)
 print("ALL TPU VALIDATION PASSED", flush=True)

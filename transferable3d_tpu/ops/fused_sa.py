@@ -1848,6 +1848,11 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
     assert depth >= 2, "fused_grouped_chain requires chain depth >= 2"
     assert layout in ("rows", "planar"), layout
     assert schedule in ("recompute", "cached"), schedule
+    # bf16 contract (see fused_grouped_chain docstring): a non-bf16
+    # pf/qc silently desyncs the stored-z1 semantics from callers'
+    # unfused formulations.
+    assert pf.dtype == jnp.bfloat16, pf.dtype
+    assert qc.dtype == jnp.bfloat16, qc.dtype
     b, s, _ = new_xyz.shape
     k = nsample
     f0 = pf.shape[-1]
@@ -1953,8 +1958,13 @@ def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
 
     Args: new_xyz [B,S,3] f32 centroids; xyz [B,N,3] f32 points;
     pf [B,N,F0] bf16 layer-1 preactivations (dense_0 applied to all
-    points); qc [B,S,F0] centroid correction (dense_0 kernel applied to
-    centroids, bias-free); gammas/betas: BN affine params per layer;
+    points); qc [B,S,F0] *bf16* centroid correction (dense_0 kernel
+    applied to centroids, bias-free). pf AND qc must be bf16: the
+    kernels store z1 = bf16_round(pf - qc), which equals the unfused
+    bf16 subtraction only when both operands are bf16-valued (an f32 qc
+    desyncs z1 from any unfused twin by one rounding — measured ~10%
+    rel on dpf through ReLU/pool tie flips; scripts/diag_rows_pf2.py).
+    gammas/betas: BN affine params per layer;
     ws/bs: dense_1..dense_{L-1} params; running: ((mean, var), ...) for
     eval mode (train=False); layout: "rows" ([B,S,K,F] z storage) or
     "planar" ([B,F,S*K] dense transposed storage — see the planar
