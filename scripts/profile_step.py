@@ -2,6 +2,7 @@
 
 Usage:
   python scripts/profile_step.py [v1|v2] [--infer]
+  python scripts/profile_step.py e2e        # depth->frustum->train jit
 
 Parses the xplane proto directly (the tensorboard-profile plugin
 converters are broken in this image, per CLAUDE.md): aggregates the
@@ -59,6 +60,44 @@ def capture(model_name: str, mode: str) -> str:
     bn_sched = schedules.bn_momentum_schedule(batch_size=BATCH)
     tx = train_loop.make_optimizer(lr_sched)
     state = train_loop.create_train_state(model, cfg, tx, batch, seed=0)
+
+    if mode == "e2e":
+        # Mirrors bench.py's T3D_E2E=1 region (depth maps -> on-device
+        # frustum extraction -> train step in one jit) so the e2e gap
+        # to the 11,600 f/s bar can be attributed per-op.
+        from transferable3d_tpu.data import depth_pipeline
+
+        frames, mb = BATCH // 4, 4
+        scene, _ = depth_pipeline.make_depth_scene(
+            np.random.RandomState(0), cfg, n_frames=frames,
+            boxes_per_frame=mb, h=96, w=128)
+        scene = jax.device_put(scene)
+        eb0 = depth_pipeline.scene_to_train_batch(
+            scene, jax.random.PRNGKey(1), NPOINTS, cfg)
+        state = train_loop.create_train_state(model, cfg, tx, eb0, seed=0)
+        step = train_loop.make_train_step(
+            model, cfg, tx, lr_sched, bn_sched,
+            step_cfg=train_loop.StepConfig(
+                compute_iou_metrics=False, use_valid_weights=True))
+
+        @jax.jit
+        def e2e_step(state, scene, rng):
+            rng, r = jax.random.split(rng)
+            eb = depth_pipeline.scene_to_train_batch(
+                scene, r, NPOINTS, cfg)
+            state, metrics = step(state, eb)
+            return state, rng, metrics["total_loss"]
+
+        rng = jax.random.PRNGKey(0)
+        state, rng, loss = e2e_step(state, scene, rng)
+        jax.block_until_ready(loss)
+        trace_dir = tempfile.mkdtemp(prefix="t3d_prof_")
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(3):
+            state, rng, loss = e2e_step(state, scene, rng)
+        jax.block_until_ready(loss)
+        jax.profiler.stop_trace()
+        return trace_dir
 
     if mode == "infer":
         step = train_loop.make_predict_step(model, cfg)
@@ -169,7 +208,8 @@ def parse(trace_dir: str, top: int = 40) -> None:
 
 if __name__ == "__main__":
     model_name = "v2" if "v2" in sys.argv else "v1"
-    mode = "infer" if "--infer" in sys.argv else "train"
+    mode = ("e2e" if "e2e" in sys.argv
+            else "infer" if "--infer" in sys.argv else "train")
     if "--parse-only" in sys.argv:
         trace_dir = sys.argv[-1]
     else:
