@@ -52,13 +52,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-from transferable3d_tpu.ops.grouping import _tri
+from transferable3d_tpu.ops.grouping import _lane_prefix_sum
 
 # Target rows (s_chunk * K) per chain-pass tile / MB budget for the
 # one-hot build in extraction-style passes. Env-tunable for sweeps
 # (read at trace time).
 _CHAIN_ROWS = int(os.environ.get("T3D_SA_CHAIN_ROWS", "4096"))
-_EXTRACT_MB = int(os.environ.get("T3D_SA_EXTRACT_MB", "8"))
+_EXTRACT_MB = os.environ.get("T3D_SA_EXTRACT_MB", "")
+
+
+def _extract_mb(n):
+    """One-hot VMEM budget (MB) for extraction-style passes. Round-4
+    tile sweep: 16 MB cut seg-SA1 (N=1024) 40.6->36.4 ms/call by
+    halving the grid-step count, while box-SA1 (N=512) regressed
+    slightly at 16 (8.18->8.60 ms) — the fixed per-step overhead only
+    dominates at wide one-hot builds. 32 MB exceeds the 16 MB scoped
+    VMEM limit at the K=128 scale. Env override for sweeps."""
+    if _EXTRACT_MB:
+        return int(_EXTRACT_MB)
+    return 16 if n >= 1024 else 8
 # Planar top-layer backward: "fused" derives the top BN-stat sums in an
 # XLA epilogue from the pool pass's pre-relu segment max (no top pass,
 # no stored dy_{L-1}; the j = depth-2 step redoes the pool grad);
@@ -173,12 +185,15 @@ def _down_to(j, zs, hs, packs, ws, dh_top, train):
 # ---------------------------------------------------------------------------
 
 
-def _rank_rows(r2, ct_rows, pt, tri):
+def _rank_rows(r2, ct_rows, pt):
     """In-radius ranks for an s-chunk. ct_rows [S_ch, 3] (natural
-    layout; 3 lanes pad in VMEM only), pt [3, N] planes, tri [N, N]
-    upper-triangular ones (bf16). Returns rank_m [S_ch, N] f32: 1-based
-    in-radius rank, 0 out of radius, patched so the nearest point is
-    the single member of an empty ball."""
+    layout; 3 lanes pad in VMEM only), pt [3, N] planes. Returns
+    rank_m [S_ch, N] f32: 1-based in-radius rank, 0 out of radius,
+    patched so the nearest point is the single member of an empty
+    ball. Ranks come from a masked lane prefix sum (see
+    grouping._lane_prefix_sum) — round 4 retired the [N, N]
+    triangular-dot formulation whose 2 MB operand dominated the
+    extract-style kernels' per-grid-step overhead."""
     s_ch = ct_rows.shape[0]
     n = pt.shape[-1]
     d2 = jnp.zeros((s_ch, n), jnp.float32)
@@ -186,8 +201,7 @@ def _rank_rows(r2, ct_rows, pt, tri):
         diff = ct_rows[:, i:i + 1] - pt[i:i + 1, :]
         d2 = d2 + diff * diff
     within = d2 <= r2
-    wf = jnp.where(within, 1.0, 0.0).astype(jnp.bfloat16)
-    rank = jnp.dot(wf, tri, preferred_element_type=jnp.float32)
+    rank = _lane_prefix_sum(jnp.where(within, 1.0, 0.0))
     count = rank[:, n - 1:n]
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (s_ch, n), 1)
     dmin = jnp.min(d2, axis=1, keepdims=True)
@@ -212,10 +226,10 @@ def _onehot_all(rank_m, k):
     return oh3.astype(jnp.bfloat16).reshape(s_ch * k, n)
 
 
-def _extract_kernel(r2, k, f0, ct, pt, tri, pay, qc, z1, sums, sumsq):
+def _extract_kernel(r2, k, f0, ct, pt, pay, qc, z1, sums, sumsq):
     s_ch = ct.shape[1]
     _zero_at_first(sums, sumsq)
-    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    rank_m = _rank_rows(r2, ct[0], pt[0])
     oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
     g = jnp.dot(oh, pay[0], preferred_element_type=jnp.float32)
     qc_rep = _expand_rows(qc, k)                       # [S_ch*K, F0] f32
@@ -239,107 +253,6 @@ def _rows(z1_block, f0, k):
     """[S_ch, K, F0] block -> ([rows, F0] view, s_chunk)."""
     s_ch = z1_block.shape[0]
     return z1_block.reshape(s_ch * k, f0), s_ch
-
-
-def _stats_kernel(depth, k, f0, z1, *refs):
-    """Accumulate Sum / Sum-of-squares of z_depth over all rows."""
-    packs, ws, bs, outs = _split(refs, depth, depth, depth, 2)
-    _zero_at_first(*outs)
-    tile, _ = _rows(z1[0], f0, k)
-    zs, _ = _chain_all(tile, packs, ws, bs)
-    zf = _f32(zs[depth])
-    outs[0][:] += jnp.sum(zf, axis=0, keepdims=True)
-    outs[1][:] += jnp.sum(zf * zf, axis=0, keepdims=True)
-
-
-def _fwd_out_kernel(depth, k, f0, z1, *refs):
-    packs, ws, bs, (pooled,) = _split(refs, depth, depth - 1, depth - 1,
-                                      1)
-    tile, s_ch = _rows(z1[0], f0, k)
-    _, hs = _chain_all(tile, packs, ws, bs)
-    h = hs[-1]
-    pooled[0] = jnp.max(h.reshape(s_ch, k, h.shape[-1]), axis=1)
-
-
-def _bwd_r_kernel(depth, j, train, k, f0, z1, *refs):
-    """Accumulate R_j = (Sum dy_j, Sum dy_j * xhat_j), plus per-pass
-    extras: the first pass (j = depth-1) computes and OUTPUTS the
-    max-pool tie counts (each s is complete within one tile, so no
-    separate ties pass is needed); passes j < depth-1 take ties as an
-    input and also accumulate dW_{j+1}, db_{j+1}; the last pass (j = 0)
-    additionally writes dy_0 (flat bf16) so the dz1/d_payload pass can
-    skip the whole chain + cascade recompute."""
-    first = j == depth - 1
-    n_in = 2 if first else 3
-    n_acc = 2 if first else 4
-    n_tile = (1 if first else 0) + (1 if j == 0 and not first else 0)
-    packs, ws, bs, ins, accs, tiles = _split(
-        refs, depth, depth - 1, depth - 1, n_in, n_acc, n_tile)
-    _zero_at_first(*accs)
-    tile, s_ch = _rows(z1[0], f0, k)
-    expand = lambda ref: _expand_rows(ref, k)
-    zs, hs = _chain_all(tile, packs, ws, bs)
-    if first:
-        pooled, dpooled = ins
-        pooled_rows = expand(pooled)
-        eq = jnp.where(_f32(hs[-1]) == pooled_rows, 1.0, 0.0)
-        ties_tile = jnp.sum(eq.reshape(s_ch, k, -1), axis=1)
-        tiles[0][0] = ties_tile
-        ties_rows = jnp.repeat(ties_tile, k, axis=0)
-        dh_top = _bf16(_f32(expand(dpooled)) * eq
-                       / jnp.maximum(ties_rows, 1.0))
-    else:
-        pooled, dpooled, ties = ins
-        dh_top = _pool_grad(hs[-1], expand(pooled), expand(dpooled),
-                            expand(ties))
-    dy_j, dz_next = _down_to(j, zs, hs, packs, ws, dh_top, train)
-    if not first:
-        # ws[j] maps h_j -> z_{j+1}: dW = h_j^T dz_{j+1}.
-        accs[2][:] += jax.lax.dot_general(
-            hs[j], dz_next, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        accs[3][:] += jnp.sum(_f32(dz_next), axis=0, keepdims=True)
-        if j == 0:
-            tiles[0][0] = dy_j.reshape(s_ch, k, f0)
-    mu, r = packs[j][2:3, :], packs[j][3:4, :]
-    xhat = (_f32(zs[j]) - mu) * r
-    dyf = _f32(dy_j)
-    accs[0][:] += jnp.sum(dyf, axis=0, keepdims=True)
-    accs[1][:] += jnp.sum(dyf * xhat, axis=0, keepdims=True)
-
-
-def _bwd_dz1_kernel(r2, k, f0, train, ct, pt, tri, z1, dy0, pack0,
-                    dpay, dqc, acc_ref):
-    """Final backward pass: dz1 (BN-0 backward of the cached dy_0) ->
-    d_payload via the one-hot transpose on the MXU, and
-    d_qc = -Sum over slots of dz1 (f32)."""
-    s_ch = ct.shape[1]
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    tile, _ = _rows(z1[0], f0, k)
-    dy0_rows, _ = _rows(dy0[0], f0, k)
-    a, mu, r = pack0[0:1, :], pack0[2:3, :], pack0[3:4, :]
-    if train:
-        mdy, mdyx = pack0[4:5, :], pack0[5:6, :]
-        xhat = (_f32(tile) - mu) * r
-        dz1 = _bf16((_f32(dy0_rows) - mdy - xhat * mdyx) * a)
-    else:
-        dz1 = _bf16(_f32(dy0_rows) * a)
-
-    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
-    oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
-    acc_ref[:] += jax.lax.dot_general(
-        oh, dz1, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [N, F0]
-    dqc[0] = -jnp.sum(_f32(dz1).reshape(s_ch, k, f0), axis=1)
-
-    @pl.when(i == pl.num_programs(1) - 1)
-    def _():
-        dpay[0] = acc_ref[:].astype(dpay.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -380,8 +293,8 @@ def _s_chunk(s, k, f_max):
 def _s_chunk_extract(s, k, n):
     """s-chunk for extraction passes: the [S_ch, K, N] one-hot build
     (f32 compare + bf16 copy, ~6 B/element transient) must fit the
-    _EXTRACT_MB budget."""
-    return _div_chunk(s, max(1, (_EXTRACT_MB << 20) // (k * n * 6)))
+    _extract_mb(n) budget."""
+    return _div_chunk(s, max(1, (_extract_mb(n) << 20) // (k * n * 6)))
 
 
 def _flat_struct(b, s, k, f0):
@@ -402,7 +315,6 @@ def _geo_specs(s_ch, n):
     return [
         _vspec((1, s_ch, 3), lambda b_, i: (b_, i, 0)),  # centroids
         _vspec((1, 3, n), lambda b_, i: (b_, 0, 0)),     # point planes
-        _vspec((n, n), lambda b_, i: (0, 0)),            # triangular 1s
     ]
 
 
@@ -424,115 +336,8 @@ def _call_extract(cent, xyz, pf, qc, radius, nsample, interpret):
         out_specs=[_flat_spec(s_ch, nsample, f0), sspec, qspec],
         out_shape=[_flat_struct(b, s, nsample, f0), sshape, qshape],
         interpret=interpret,
-    )(cent, pt, _tri(n), pf, _bf16(qc))
+    )(cent, pt, pf, _bf16(qc))
     return z1, sums[0], sumsq[0]
-
-
-def _chain_grid_specs(z1, s, k, f0, packs, ws, bs):
-    b = z1.shape[0]
-    f_max = max(p_.shape[-1] for p_ in packs)
-    s_ch = _s_chunk(s, k, f_max)
-    grid = (b, s // s_ch)
-    specs = [_flat_spec(s_ch, k, f0)]
-    specs += _param_specs(packs, ws, bs)
-    return grid, specs, s_ch
-
-
-def _call_stats(z1, s, k, f0, packs, ws, bs, f_out, interpret):
-    depth = len(packs)
-    grid, specs, _ = _chain_grid_specs(z1, s, k, f0, packs, ws, bs)
-    sspec, sshape = _acc_spec((1, f_out))
-    qspec, qshape = _acc_spec((1, f_out))
-    sums, sumsq = pl.pallas_call(
-        partial(_stats_kernel, depth, k, f0),
-        grid=grid,
-        in_specs=specs,
-        out_specs=[sspec, qspec],
-        out_shape=[sshape, qshape],
-        interpret=interpret,
-    )(z1, *packs, *ws, *bs)
-    return sums[0], sumsq[0]
-
-
-def _call_fwd_out(z1, s, k, f0, packs, ws, bs, interpret):
-    depth = len(packs)
-    b = z1.shape[0]
-    f_out = packs[-1].shape[-1]
-    grid, specs, s_ch = _chain_grid_specs(z1, s, k, f0, packs, ws, bs)
-    return pl.pallas_call(
-        partial(_fwd_out_kernel, depth, k, f0),
-        grid=grid,
-        in_specs=specs,
-        out_specs=_vspec((1, s_ch, f_out), lambda b_, i: (b_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, f_out), jnp.bfloat16),
-        interpret=interpret,
-    )(z1, *packs, *ws, *bs)
-
-
-def _call_bwd_r(j, train, z1, s, k, f0, packs, ws, bs, pooled, dpooled,
-                ties, interpret):
-    """One backward pass. Returns (sdy, sdyx) plus: ties [B,S,F] when
-    j == depth-1 (ties arg ignored); dW, db, dy0 when j == 0; dW, db
-    for intermediate j."""
-    depth = len(packs)
-    b = z1.shape[0]
-    f_out = pooled.shape[-1]
-    f_j = packs[j].shape[-1]
-    first = j == depth - 1
-    grid, specs, s_ch = _chain_grid_specs(z1, s, k, f0, packs, ws, bs)
-    pspec = _vspec((1, s_ch, f_out), lambda b_, i: (b_, i, 0))
-    specs += [pspec, pspec] if first else [pspec, pspec, pspec]
-    out_specs, out_shapes = [], []
-    for shape in [(1, f_j), (1, f_j)] + (
-            [] if first else [ws[j].shape, (1, ws[j].shape[1])]):
-        sp, sh = _acc_spec(shape)
-        out_specs.append(sp)
-        out_shapes.append(sh)
-    if first:
-        out_specs.append(pspec)
-        out_shapes.append(jax.ShapeDtypeStruct((b, s, f_out),
-                                               jnp.float32))
-    elif j == 0:
-        out_specs.append(_flat_spec(s_ch, k, f0))
-        out_shapes.append(_flat_struct(b, s, k, f0))
-    ins = (pooled, dpooled.astype(jnp.bfloat16)) if first else (
-        pooled, dpooled.astype(jnp.bfloat16), ties)
-    return pl.pallas_call(
-        partial(_bwd_r_kernel, depth, j, train, k, f0),
-        grid=grid,
-        in_specs=specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(z1, *packs, *ws, *bs, *ins)
-
-
-def _call_bwd_dz1(cent, xyz, z1, dy0, s, k, f0, pack0, radius, nsample,
-                  train, pay_dtype, interpret):
-    b = z1.shape[0]
-    n = xyz.shape[1]
-    s_ch = _s_chunk_extract(s, nsample, n)
-    pt = jnp.swapaxes(xyz, 1, 2)
-    fspec = _flat_spec(s_ch, k, f0)
-    dpay, dqc = pl.pallas_call(
-        partial(_bwd_dz1_kernel, radius * radius, nsample, f0, train),
-        grid=(b, s // s_ch),
-        in_specs=_geo_specs(s_ch, n) + [
-            fspec, fspec,
-            _vspec(pack0.shape, lambda b_, i: (0, 0)),
-        ],
-        out_specs=[
-            _vspec((1, n, f0), lambda b_, i: (b_, 0, 0)),
-            _vspec((1, s_ch, f0), lambda b_, i: (b_, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, f0), pay_dtype),
-            jax.ShapeDtypeStruct((b, s, f0), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((n, f0), jnp.float32)],
-        interpret=interpret,
-    )(cent, pt, _tri(n), z1, dy0, pack0)
-    return dpay, dqc
 
 
 # ---------------------------------------------------------------------------
@@ -584,13 +389,6 @@ def _fwd_step_kernel(k, f_in, f_out, z_prev, pack, w, b, z_next, sums,
     sumsq[:] += jnp.sum(zf * zf, axis=0, keepdims=True)
 
 
-def _fwd_pool_kernel(k, f, z_last, pack, pooled):
-    tile, s_ch = _rows(z_last[0], f, k)
-    a, c = pack[0:1, :], pack[1:2, :]
-    h = jnp.maximum(_bf16(_f32(tile) * a + c), jnp.bfloat16(0))
-    pooled[0] = jnp.max(h.reshape(s_ch, k, f), axis=1)
-
-
 def _fwd_last_kernel(k, f_in, f_out, z_prev, pack, w, b, z_next, sums,
                      sumsq, zmax, zmin):
     """Last cached fwd step (rows): _fwd_step_kernel + per-centroid
@@ -626,22 +424,6 @@ def _top_dy_rows(h, pooled, dpooled, k, s_ch, f):
     dh = _bf16(_f32(_expand_rows(dpooled, k)) * eq
                / jnp.maximum(ties_rows, 1.0))
     return jnp.where(_f32(h) > 0, dh, jnp.bfloat16(0))
-
-
-def _bwd_top_kernel(train, k, f, z_last, pack, pooled, dpooled, sdy,
-                    sdyx):
-    """Backward entry at j = depth-1, STATS ONLY: dy_{L-1} is never
-    stored — the j = depth-2 step recomputes it from z_{L-1} (one VPU
-    pool-grad redo saves a write + read of the widest dy tensor)."""
-    _zero_at_first(sdy, sdyx)
-    tile, s_ch = _rows(z_last[0], f, k)
-    a, c, mu, r = (pack[0:1, :], pack[1:2, :], pack[2:3, :], pack[3:4, :])
-    h = jnp.maximum(_bf16(_f32(tile) * a + c), jnp.bfloat16(0))
-    dy = _top_dy_rows(h, pooled, dpooled, k, s_ch, f)
-    xhat = (_f32(tile) - mu) * r
-    dyf = _f32(dy)
-    sdy[:] += jnp.sum(dyf, axis=0, keepdims=True)
-    sdyx[:] += jnp.sum(dyf * xhat, axis=0, keepdims=True)
 
 
 def _step_dz_rows(train, top, k, f_j1, ins, pack_j1, s_ch):
@@ -694,7 +476,7 @@ def _bwd_step_kernel(train, top, k, f_j, f_j1, *refs):
     db[:] += jnp.sum(_f32(dz1_), axis=0, keepdims=True)
 
 
-def _infer_kernel(r2, k, f0, depth, ct, pt, tri, pay, qc, *refs):
+def _infer_kernel(r2, k, f0, depth, ct, pt, pay, qc, *refs):
     """Single-pass INFERENCE chain (rows): extract -> L layers -> pool
     entirely in VMEM. Eval mode has no batch-stat barriers (packs are
     built from running stats), so no z tensor ever needs HBM: the pass
@@ -703,7 +485,7 @@ def _infer_kernel(r2, k, f0, depth, ct, pt, tri, pay, qc, *refs):
     packs, ws, bs, (pooled,) = _split(refs, depth, depth - 1,
                                       depth - 1, 1)
     s_ch = ct.shape[1]
-    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    rank_m = _rank_rows(r2, ct[0], pt[0])
     oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
     g = jnp.dot(oh, pay[0], preferred_element_type=jnp.float32)
     # g and qc_rep are exactly bf16-valued (one-hot selection of bf16
@@ -718,12 +500,12 @@ def _infer_kernel(r2, k, f0, depth, ct, pt, tri, pay, qc, *refs):
     pooled[0] = jnp.max(h.reshape(s_ch, k, h.shape[-1]), axis=1)
 
 
-def _infer_kernel_p(r2, k, f0, depth, ct, pt, tri, payt, qc, *refs):
+def _infer_kernel_p(r2, k, f0, depth, ct, pt, payt, qc, *refs):
     """Planar twin of _infer_kernel."""
     packs, ws, bs, (pooled,) = _split(refs, depth, depth - 1,
                                       depth - 1, 1)
     s_ch = ct.shape[1]
-    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    rank_m = _rank_rows(r2, ct[0], pt[0])
     oh = _onehot_all(rank_m, k)
     g = jax.lax.dot_general(
         payt[0], oh, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -771,7 +553,7 @@ def _call_infer(cent, xyz, pf, qc, radius, nsample, packs, ws, bs,
         out_specs=_vspec((1, s_ch, f_last), lambda b_, i: (b_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, f_last), jnp.bfloat16),
         interpret=interpret,
-    )(cent, pt, _tri(n), pay, _bf16(qc), *p_args)
+    )(cent, pt, pay, _bf16(qc), *p_args)
 
 
 def _mult_tile(oh, s_ch, k):
@@ -804,10 +586,10 @@ def _bwd_step0_kernel(train, top, r2, k, f_j, f_j1, *refs):
     only H/Sdy). Saves the dy_0 stream (write + read) and the retired
     dz1 pass's z_1 re-read; the one-hot build + transpose dot move
     here unchanged."""
-    (ins, (ct, pt, tri, qc_t), (pack_j, pack_j1, w_j),
+    (ins, (ct, pt, qc_t), (pack_j, pack_j1, w_j),
      (sdy, sdyx, dw, db, h_out, mq_out, cnt_out, sdy_s, sz_s),
      (acc_h, acc_mq, acc_cnt)) = _split(
-         refs, 4 if top else 3, 4, 3, 9, 3)
+         refs, 4 if top else 3, 3, 3, 9, 3)
     z_j = ins[0]
     _zero_at_first(sdy, sdyx, dw, db)
     i = pl.program_id(1)
@@ -835,7 +617,7 @@ def _bwd_step0_kernel(train, top, r2, k, f_j, f_j1, *refs):
         preferred_element_type=jnp.float32)
     db[:] += jnp.sum(_f32(dz1_), axis=0, keepdims=True)
 
-    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    rank_m = _rank_rows(r2, ct[0], pt[0])
     oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
     acc_h[:] += jax.lax.dot_general(
         oh, dy_j, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -916,39 +698,6 @@ def _pool_epilogue(zmax, zmin, pack):
     a, c = pack[0], pack[1]
     ysel = jnp.where(a > 0, a * zmax + c, a * zmin + c)
     return jnp.maximum(ysel.astype(jnp.bfloat16), jnp.bfloat16(0))
-
-
-def _call_fwd_pool(z_last, s, k, f, pack, f_max, interpret):
-    b = z_last.shape[0]
-    grid, s_ch = _cached_grid(z_last, s, k, f_max)
-    const = lambda a: _vspec(a.shape,
-                             lambda b__, i: tuple(0 for _ in a.shape))
-    return pl.pallas_call(
-        partial(_fwd_pool_kernel, k, f),
-        grid=grid,
-        in_specs=[_flat_spec(s_ch, k, f), const(pack)],
-        out_specs=_vspec((1, s_ch, f), lambda b__, i: (b__, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, f), jnp.bfloat16),
-        interpret=interpret,
-    )(z_last, pack)
-
-
-def _call_bwd_top(train, z_last, s, k, f, pack, pooled, dpooled, f_max,
-                  interpret):
-    grid, s_ch = _cached_grid(z_last, s, k, f_max)
-    const = lambda a: _vspec(a.shape,
-                             lambda b__, i: tuple(0 for _ in a.shape))
-    pspec = _vspec((1, s_ch, f), lambda b__, i: (b__, i, 0))
-    sspec, sshape = _acc_spec((1, f))
-    qspec, qshape = _acc_spec((1, f))
-    return pl.pallas_call(
-        partial(_bwd_top_kernel, train, k, f),
-        grid=grid,
-        in_specs=[_flat_spec(s_ch, k, f), const(pack), pspec, pspec],
-        out_specs=[sspec, qspec],
-        out_shape=[sshape, qshape],
-        interpret=interpret,
-    )(z_last, pack, pooled, dpooled.astype(jnp.bfloat16))
 
 
 def _call_bwd_step(train, top, z_j, z_j1, dy_src, s, k, f_j, f_j1,
@@ -1034,7 +783,7 @@ def _call_bwd_step0(train, top, z_j, z_j1, dy_src, cent, xyz, qc, s, k,
                         pltpu.VMEM((n, f_j), jnp.float32),
                         pltpu.VMEM((1, n), jnp.float32)],
         interpret=interpret,
-    )(z_j, z_j1, *extra_ins, cent, pt, _tri(n), _bf16(qc), pack_j,
+    )(z_j, z_j1, *extra_ins, cent, pt, _bf16(qc), pack_j,
       pack_j1, w_j)
 
 
@@ -1068,17 +817,6 @@ def _fwd_step_kernel_cp(k, f_in, f_out, z_prev, pack, w, b, z_next,
     zf = _f32(z)
     sums[:] += jnp.sum(zf, axis=1, keepdims=True)
     sumsq[:] += jnp.sum(zf * zf, axis=1, keepdims=True)
-
-
-def _fwd_pool_kernel_cp(k, f, z_last, pack, pooled):
-    s_ch = pooled.shape[1]
-    a, c = pack[:, 0:1], pack[:, 1:2]
-    h = jnp.maximum(_bf16(_f32(z_last[0]) * a + c), jnp.bfloat16(0))
-    hmax = _seg_max_lanes(_f32(h), k)
-    pooled[0] = jax.lax.dot_general(
-        _sel_matrix(s_ch, k), hmax,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(pooled.dtype)
 
 
 def _fwd_pool_ymax_kernel_cp(k, f, z_last, pack, pooled, ymax):
@@ -1121,25 +859,6 @@ def _top_dy_cols(h, pooled, dpooled, k, s_ch):
     dh = _bf16(_rep_cols(dpooled, s_ch, k) * eq
                / jnp.maximum(_rep_cols_arr(ties_tile, k), 1.0))
     return jnp.where(_f32(h) > 0, dh, jnp.bfloat16(0))
-
-
-def _bwd_top_kernel_cp(train, k, f, z_last, pack, pooled, dpooled,
-                       dy_out, sdy, sdyx):
-    """Planar cached backward entry at j = depth-1. Unlike the
-    row-major twin this DOES store dy_{L-1}: the planar pool-grad redo
-    (replication + segment-sum dots) costs more than the saved dense
-    stream (seg-SA1 37.5 -> 39.2 ms measured with the skip)."""
-    _zero_at_first(sdy, sdyx)
-    s_ch = pooled.shape[1]
-    a, c, mu, r = (pack[:, 0:1], pack[:, 1:2], pack[:, 2:3],
-                   pack[:, 3:4])
-    h = jnp.maximum(_bf16(_f32(z_last[0]) * a + c), jnp.bfloat16(0))
-    dy = _top_dy_cols(h, pooled, dpooled, k, s_ch)
-    dy_out[0] = dy
-    xhat = (_f32(z_last[0]) - mu) * r
-    dyf = _f32(dy)
-    sdy[:] += jnp.sum(dyf, axis=1, keepdims=True)
-    sdyx[:] += jnp.sum(dyf * xhat, axis=1, keepdims=True)
 
 
 def _step_dz_cols(train, top, k, ins, pack_j1):
@@ -1188,10 +907,10 @@ def _bwd_step_kernel_cp(train, top, k, f_j, f_j1, *refs):
 def _bwd_step0_kernel_cp(train, top, r2, k, f_j, f_j1, *refs):
     """Planar twin of _bwd_step0_kernel (j = 0 step fused with the dz1
     pass); accumulator orientation is [F, 1] / lane reductions."""
-    (ins, (ct, pt, tri, qc_t), (pack_j, pack_j1, w_j),
+    (ins, (ct, pt, qc_t), (pack_j, pack_j1, w_j),
      (sdy, sdyx, dw, db, h_out, mq_out, cnt_out, sdy_s, sz_s),
      (acc_h, acc_mq, acc_cnt)) = _split(
-         refs, 4 if top else 3, 4, 3, 9, 3)
+         refs, 4 if top else 3, 3, 3, 9, 3)
     z_j = ins[0]
     _zero_at_first(sdy, sdyx, dw, db)
     i = pl.program_id(1)
@@ -1220,7 +939,7 @@ def _bwd_step0_kernel_cp(train, top, r2, k, f_j, f_j1, *refs):
         preferred_element_type=jnp.float32)
     db[:] += jnp.sum(_f32(dz1_), axis=1, keepdims=True)
 
-    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    rank_m = _rank_rows(r2, ct[0], pt[0])
     oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
     acc_h[:] += jax.lax.dot_general(
         oh, dy_j, dimension_numbers=(((0,), (1,)), ((), ())),
@@ -1278,23 +997,6 @@ def _call_fwd_step_cp(z_prev, s, k, f_in, f_out, pack, w, b_, f_max,
     return z_next, sums[:, 0], sumsq[:, 0]
 
 
-def _call_fwd_pool_cp(z_last, s, k, f, pack, f_max, interpret):
-    b = z_last.shape[0]
-    s_ch = _s_chunk_cp(s, k, f_max)
-    grid = (b, s // s_ch)
-    const = lambda a: _vspec(a.shape,
-                             lambda b__, i: tuple(0 for _ in a.shape))
-    packp = jnp.swapaxes(pack, 0, 1)
-    return pl.pallas_call(
-        partial(_fwd_pool_kernel_cp, k, f),
-        grid=grid,
-        in_specs=[_planar_spec(s_ch, k, f), const(packp)],
-        out_specs=_vspec((1, s_ch, f), lambda b__, i: (b__, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, f), jnp.bfloat16),
-        interpret=interpret,
-    )(z_last, packp)
-
-
 def _call_fwd_pool_ymax_cp(z_last, s, k, f, pack, f_max, interpret):
     """Planar pool for the fused top: returns (pooled bf16, ymax f32)."""
     b = z_last.shape[0]
@@ -1313,28 +1015,6 @@ def _call_fwd_pool_ymax_cp(z_last, s, k, f, pack, f_max, interpret):
                    jax.ShapeDtypeStruct((b, s, f), jnp.float32)],
         interpret=interpret,
     )(z_last, packp)
-
-
-def _call_bwd_top_cp(train, z_last, s, k, f, pack, pooled, dpooled,
-                     f_max, interpret):
-    b = z_last.shape[0]
-    s_ch = _s_chunk_cp(s, k, f_max)
-    grid = (b, s // s_ch)
-    const = lambda a: _vspec(a.shape,
-                             lambda b__, i: tuple(0 for _ in a.shape))
-    packp = jnp.swapaxes(pack, 0, 1)
-    pspec = _vspec((1, s_ch, f), lambda b__, i: (b__, i, 0))
-    sspec, sshape = _acc_spec_p((f, 1))
-    qspec, qshape = _acc_spec_p((f, 1))
-    dy, sdy, sdyx = pl.pallas_call(
-        partial(_bwd_top_kernel_cp, train, k, f),
-        grid=grid,
-        in_specs=[_planar_spec(s_ch, k, f), const(packp), pspec, pspec],
-        out_specs=[_planar_spec(s_ch, k, f), sspec, qspec],
-        out_shape=[_planar_struct(b, s, k, f), sshape, qshape],
-        interpret=interpret,
-    )(z_last, packp, pooled, dpooled.astype(jnp.bfloat16))
-    return dy, sdy[None, :, 0], sdyx[None, :, 0]
 
 
 def _call_bwd_step_cp(train, top, z_j, z_j1, dy_src, s, k, f_j, f_j1,
@@ -1424,7 +1104,7 @@ def _call_bwd_step0_cp(train, top, z_j, z_j1, dy_src, cent, xyz, qc, s,
                         pltpu.VMEM((n, f_j), jnp.float32),
                         pltpu.VMEM((1, n), jnp.float32)],
         interpret=interpret,
-    )(z_j, z_j1, *extra_ins, cent, pt, _tri(n), _bf16(qc), packjp,
+    )(z_j, z_j1, *extra_ins, cent, pt, _bf16(qc), packjp,
       packj1p, w_j)
     return (sdy[None, :, 0], sdyx[None, :, 0], dw, db[None, :, 0],
             h_acc, mq, cnt, sdy_s, sz_s)
@@ -1534,10 +1214,10 @@ def _sel_matrix(s_ch, k, dtype=jnp.bfloat16):
     return jnp.where(lane == row * k, 1.0, 0.0).astype(dtype)
 
 
-def _extract_kernel_p(r2, k, f0, ct, pt, tri, payt, qc, z1, sums, sumsq):
+def _extract_kernel_p(r2, k, f0, ct, pt, payt, qc, z1, sums, sumsq):
     s_ch = ct.shape[1]
     _zero_at_first(sums, sumsq)
-    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
+    rank_m = _rank_rows(r2, ct[0], pt[0])
     oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
     g = jax.lax.dot_general(
         payt[0], oh, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1548,104 +1228,6 @@ def _extract_kernel_p(r2, k, f0, ct, pt, tri, payt, qc, z1, sums, sumsq):
     zf = _f32(z)
     sums[:] += jnp.sum(zf, axis=1, keepdims=True)
     sumsq[:] += jnp.sum(zf * zf, axis=1, keepdims=True)
-
-
-def _stats_kernel_p(depth, k, f0, z1, *refs):
-    packs, ws, bs, outs = _split(refs, depth, depth, depth, 2)
-    _zero_at_first(*outs)
-    zs, _ = _chain_all_p(z1[0], packs, ws, bs)
-    zf = _f32(zs[depth])
-    outs[0][:] += jnp.sum(zf, axis=1, keepdims=True)
-    outs[1][:] += jnp.sum(zf * zf, axis=1, keepdims=True)
-
-
-def _fwd_out_kernel_p(depth, k, f0, z1, *refs):
-    packs, ws, bs, (pooled,) = _split(refs, depth, depth - 1, depth - 1,
-                                      1)
-    s_ch = pooled.shape[1]
-    _, hs = _chain_all_p(z1[0], packs, ws, bs)
-    hmax = _seg_max_lanes(_f32(hs[-1]), k)
-    pooled[0] = jax.lax.dot_general(
-        _sel_matrix(s_ch, k), hmax,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(pooled.dtype)
-
-
-def _bwd_r_kernel_p(depth, j, train, k, f0, z1, *refs):
-    """Planar twin of _bwd_r_kernel. Accumulator orientation is [F, 1]
-    (lane reductions); the wrapper flattens."""
-    first = j == depth - 1
-    n_in = 2 if first else 3
-    n_acc = 2 if first else 4
-    n_tile = (1 if first else 0) + (1 if j == 0 and not first else 0)
-    packs, ws, bs, ins, accs, tiles = _split(
-        refs, depth, depth - 1, depth - 1, n_in, n_acc, n_tile)
-    _zero_at_first(*accs)
-    s_ch = ins[0].shape[1]
-    zs, hs = _chain_all_p(z1[0], packs, ws, bs)
-    if first:
-        pooled, dpooled = ins
-        pooled_rep = _rep_cols(pooled, s_ch, k)        # [F, rows] f32
-        eq = jnp.where(_f32(hs[-1]) == pooled_rep, 1.0, 0.0)
-        # ties [S_ch, F] via the segment-sum dot (counts <= K exact).
-        ties_tile = jax.lax.dot_general(
-            _rep_matrix(s_ch, k), eq.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        tiles[0][0] = ties_tile
-        dh_top = _bf16(_rep_cols(dpooled, s_ch, k) * eq
-                       / jnp.maximum(_rep_cols_arr(ties_tile, k), 1.0))
-    else:
-        pooled, dpooled, ties = ins
-        pooled_rep = _rep_cols(pooled, s_ch, k)
-        eq = jnp.where(_f32(hs[-1]) == pooled_rep, 1.0, 0.0)
-        dh_top = _bf16(_rep_cols(dpooled, s_ch, k) * eq
-                       / jnp.maximum(_rep_cols(ties, s_ch, k), 1.0))
-    dy_j, dz_next = _down_to_p(j, zs, hs, packs, ws, dh_top, train)
-    if not first:
-        accs[2][:] += jax.lax.dot_general(
-            hs[j], dz_next, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [F_j, F_{j+1}]
-        accs[3][:] += jnp.sum(_f32(dz_next), axis=1, keepdims=True)
-        if j == 0:
-            tiles[0][0] = dy_j
-    mu, r = packs[j][:, 2:3], packs[j][:, 3:4]
-    xhat = (_f32(zs[j]) - mu) * r
-    dyf = _f32(dy_j)
-    accs[0][:] += jnp.sum(dyf, axis=1, keepdims=True)
-    accs[1][:] += jnp.sum(dyf * xhat, axis=1, keepdims=True)
-
-
-def _bwd_dz1_kernel_p(r2, k, f0, train, ct, pt, tri, z1, dy0, pack0,
-                      dpay, dqc, acc_ref):
-    s_ch = ct.shape[1]
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    a, mu, r = pack0[:, 0:1], pack0[:, 2:3], pack0[:, 3:4]
-    if train:
-        mdy, mdyx = pack0[:, 4:5], pack0[:, 5:6]
-        xhat = (_f32(z1[0]) - mu) * r
-        dz1 = _bf16((_f32(dy0[0]) - mdy - xhat * mdyx) * a)
-    else:
-        dz1 = _bf16(_f32(dy0[0]) * a)
-
-    rank_m = _rank_rows(r2, ct[0], pt[0], tri[:])
-    oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
-    acc_ref[:] += jax.lax.dot_general(
-        oh, dz1, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [N, F0]
-    dqc[0] = -jax.lax.dot_general(
-        _rep_matrix(s_ch, k), dz1,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [S_ch, F0]
-
-    @pl.when(i == pl.num_programs(1) - 1)
-    def _():
-        dpay[0] = acc_ref[:].astype(dpay.dtype)
 
 
 # --- planar pallas_call wrappers -------------------------------------------
@@ -1704,123 +1286,8 @@ def _call_extract_p(cent, xyz, pf, qc, radius, nsample, f_max,
         out_specs=[_planar_spec(s_ch, nsample, f0), sspec, qspec],
         out_shape=[_planar_struct(b, s, nsample, f0), sshape, qshape],
         interpret=interpret,
-    )(cent, pt, _tri(n), payt, _bf16(qc))
+    )(cent, pt, payt, _bf16(qc))
     return z1, sums[:, 0], sumsq[:, 0]
-
-
-def _chain_grid_specs_p(z1, s, k, f0, packs, ws, bs, n):
-    b = z1.shape[0]
-    f_max = max(p_.shape[0] for p_ in packs)
-    s_ch = _s_chunk_p(s, k, f_max, n)
-    grid = (b, s // s_ch)
-    specs = [_planar_spec(s_ch, k, f0)]
-    specs += _param_specs(packs, ws, bs)
-    return grid, specs, s_ch
-
-
-def _call_stats_p(z1, s, k, f0, packs, ws, bs, f_out, n, interpret):
-    depth = len(packs)
-    grid, specs, _ = _chain_grid_specs_p(z1, s, k, f0, packs, ws, bs, n)
-    sspec, sshape = _acc_spec_p((f_out, 1))
-    qspec, qshape = _acc_spec_p((f_out, 1))
-    sums, sumsq = pl.pallas_call(
-        partial(_stats_kernel_p, depth, k, f0),
-        grid=grid,
-        in_specs=specs,
-        out_specs=[sspec, qspec],
-        out_shape=[sshape, qshape],
-        interpret=interpret,
-    )(z1, *packs, *ws, *bs)
-    return sums[:, 0], sumsq[:, 0]
-
-
-def _call_fwd_out_p(z1, s, k, f0, packs, ws, bs, n, interpret):
-    depth = len(packs)
-    b = z1.shape[0]
-    f_out = packs[-1].shape[0]
-    grid, specs, s_ch = _chain_grid_specs_p(z1, s, k, f0, packs, ws, bs,
-                                            n)
-    return pl.pallas_call(
-        partial(_fwd_out_kernel_p, depth, k, f0),
-        grid=grid,
-        in_specs=specs,
-        out_specs=_vspec((1, s_ch, f_out), lambda b_, i: (b_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, f_out), jnp.bfloat16),
-        interpret=interpret,
-    )(z1, *packs, *ws, *bs)
-
-
-def _call_bwd_r_p(j, train, z1, s, k, f0, packs, ws, bs, pooled,
-                  dpooled, ties, n, interpret):
-    depth = len(packs)
-    b = z1.shape[0]
-    f_out = pooled.shape[-1]
-    f_j = packs[j].shape[0]
-    first = j == depth - 1
-    grid, specs, s_ch = _chain_grid_specs_p(z1, s, k, f0, packs, ws, bs,
-                                            n)
-    pspec = _vspec((1, s_ch, f_out), lambda b_, i: (b_, i, 0))
-    specs += [pspec, pspec] if first else [pspec, pspec, pspec]
-    out_specs, out_shapes = [], []
-    acc_shapes = [(f_j, 1), (f_j, 1)] + (
-        [] if first else [ws[j].shape, (ws[j].shape[1], 1)])
-    for shape in acc_shapes:
-        sp, sh = _acc_spec_p(shape)
-        out_specs.append(sp)
-        out_shapes.append(sh)
-    if first:
-        out_specs.append(pspec)
-        out_shapes.append(jax.ShapeDtypeStruct((b, s, f_out),
-                                               jnp.float32))
-    elif j == 0:
-        out_specs.append(_planar_spec(s_ch, k, f0))
-        out_shapes.append(_planar_struct(b, s, k, f0))
-    ins = (pooled, dpooled.astype(jnp.bfloat16)) if first else (
-        pooled, dpooled.astype(jnp.bfloat16), ties)
-    outs = pl.pallas_call(
-        partial(_bwd_r_kernel_p, depth, j, train, k, f0),
-        grid=grid,
-        in_specs=specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(z1, *packs, *ws, *bs, *ins)
-    # Flatten the planar [F, 1] / [F_out, 1] accumulators to match the
-    # row-major wrapper's [1, F] convention downstream.
-    outs = list(outs)
-    outs[0] = outs[0][None, :, 0]
-    outs[1] = outs[1][None, :, 0]
-    if not first:
-        outs[3] = outs[3][None, :, 0]
-    return outs
-
-
-def _call_bwd_dz1_p(cent, xyz, z1, dy0, s, k, f0, pack0, radius,
-                    nsample, train, pay_dtype, f_max, interpret):
-    b = z1.shape[0]
-    n = xyz.shape[1]
-    s_ch = _s_chunk_p(s, nsample, f_max, n)
-    pt = jnp.swapaxes(xyz, 1, 2)
-    fspec = _planar_spec(s_ch, k, f0)
-    dpay, dqc = pl.pallas_call(
-        partial(_bwd_dz1_kernel_p, radius * radius, nsample, f0, train),
-        grid=(b, s // s_ch),
-        in_specs=_geo_specs(s_ch, n) + [
-            fspec, fspec,
-            _vspec(pack0.shape, lambda b_, i: (0, 0)),
-        ],
-        out_specs=[
-            _vspec((1, n, f0), lambda b_, i: (b_, 0, 0)),
-            _vspec((1, s_ch, f0), lambda b_, i: (b_, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, f0), pay_dtype),
-            jax.ShapeDtypeStruct((b, s, f0), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((n, f0), jnp.float32)],
-        interpret=interpret,
-    )(cent, pt, _tri(n), z1, dy0, pack0)
-    return dpay, dqc
 
 
 # ---------------------------------------------------------------------------
@@ -1840,14 +1307,13 @@ def _make_pack(gamma, beta, mu, var, eps, mdy=None, mdyx=None):
 
 def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
               nsample, eps, train, running, interpret, layout="rows",
-              schedule="recompute", with_residuals=True):
+              with_residuals=True):
     depth = len(gammas)
     # Depth-1 chains would leave dy0 unset in the backward cascade
     # (the j==0 pass doubles as the j==depth-1 pass); no SA config uses
     # one, so reject instead of special-casing.
     assert depth >= 2, "fused_grouped_chain requires chain depth >= 2"
     assert layout in ("rows", "planar"), layout
-    assert schedule in ("recompute", "cached"), schedule
     # bf16 contract (see fused_grouped_chain docstring): a non-bf16
     # pf/qc silently desyncs the stored-z1 semantics from callers'
     # unfused formulations.
@@ -1881,72 +1347,43 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
         return mu, sumsq / m - mu * mu
 
     means, variances, packs = [], [], []
-    if schedule == "cached":
-        zs = [z1]
-        sums, sumsq = s0, q0
-        zmax = zmin = None
-        for d in range(depth):
-            mu, var = stat(sums, sumsq) if train else running[d]
-            means.append(mu)
-            variances.append(var)
-            packs.append(_make_pack(gammas[d], betas[d], mu, var, eps))
-            if d < depth - 1:
-                f_in = gammas[d].shape[0]
-                f_out = gammas[d + 1].shape[0]
-                if d == depth - 2 and not planar:
-                    # Rows: the last step also emits z extrema so the
-                    # pool pass (full z_last read) becomes an XLA
-                    # epilogue. Planar keeps the pool pass: its segment
-                    # max needs log2(K) roll+max sweeps, and two of
-                    # them (max AND min, the affine sign being unknown
-                    # until the stats land) cost more than the saved
-                    # stream.
-                    z_next, sums, sumsq, zmax, zmin = _call_fwd_last(
-                        zs[d], s, k, f_in, f_out, packs[d], ws[d],
-                        bs[d], f_max, interpret)
-                else:
-                    step = _call_fwd_step_cp if planar else _call_fwd_step
-                    z_next, sums, sumsq = step(
-                        zs[d], s, k, f_in, f_out, packs[d], ws[d],
-                        bs[d], f_max, interpret)
-                zs.append(z_next)
-        if planar and _PLANAR_TOP == "fused":
-            pooled, ymax = _call_fwd_pool_ymax_cp(
-                zs[-1], s, k, gammas[-1].shape[0], packs[-1], f_max,
-                interpret)
-            pool_aux = (ymax,)
-        elif planar:
-            pooled = _call_fwd_pool_cp(zs[-1], s, k, gammas[-1].shape[0],
-                                       packs[-1], f_max, interpret)
-            pool_aux = ()
-        else:
-            pooled = _pool_epilogue(zmax, zmin, packs[-1])
-            pool_aux = (zmax, zmin)
-        return pooled, means, variances, tuple(zs), packs, pool_aux
+    zs = [z1]
+    sums, sumsq = s0, q0
+    zmax = zmin = None
     for d in range(depth):
-        if train:
-            if d == 0:
-                sums, sumsq = s0, q0
-            elif planar:
-                sums, sumsq = _call_stats_p(
-                    z1, s, k, f0, _pack_planar(packs), ws[:d],
-                    _bs_planar(bs[:d]), gammas[d].shape[0], n, interpret)
-            else:
-                sums, sumsq = _call_stats(
-                    z1, s, k, f0, packs, ws[:d], bs[:d],
-                    gammas[d].shape[0], interpret)
-            mu, var = stat(sums, sumsq)
-        else:
-            mu, var = running[d]
+        mu, var = stat(sums, sumsq) if train else running[d]
         means.append(mu)
         variances.append(var)
         packs.append(_make_pack(gammas[d], betas[d], mu, var, eps))
+        if d < depth - 1:
+            f_in = gammas[d].shape[0]
+            f_out = gammas[d + 1].shape[0]
+            if d == depth - 2 and not planar:
+                # Rows: the last step also emits z extrema so the
+                # pool pass (full z_last read) becomes an XLA
+                # epilogue. Planar keeps the pool pass: its segment
+                # max needs log2(K) roll+max sweeps, and two of
+                # them (max AND min, the affine sign being unknown
+                # until the stats land) cost more than the saved
+                # stream.
+                z_next, sums, sumsq, zmax, zmin = _call_fwd_last(
+                    zs[d], s, k, f_in, f_out, packs[d], ws[d],
+                    bs[d], f_max, interpret)
+            else:
+                step = _call_fwd_step_cp if planar else _call_fwd_step
+                z_next, sums, sumsq = step(
+                    zs[d], s, k, f_in, f_out, packs[d], ws[d],
+                    bs[d], f_max, interpret)
+            zs.append(z_next)
     if planar:
-        pooled = _call_fwd_out_p(z1, s, k, f0, _pack_planar(packs), ws,
-                                 _bs_planar(bs), n, interpret)
+        pooled, ymax = _call_fwd_pool_ymax_cp(
+            zs[-1], s, k, gammas[-1].shape[0], packs[-1], f_max,
+            interpret)
+        pool_aux = (ymax,)
     else:
-        pooled = _call_fwd_out(z1, s, k, f0, packs, ws, bs, interpret)
-    return pooled, means, variances, (z1,), packs, ()
+        pooled = _pool_epilogue(zmax, zmin, packs[-1])
+        pool_aux = (zmax, zmin)
+    return pooled, means, variances, tuple(zs), packs, pool_aux
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 13, 14, 15))

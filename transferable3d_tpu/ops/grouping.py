@@ -248,8 +248,8 @@ _onehot_select.defvjp(_onehot_select_fwd, _onehot_select_bwd)
 # HBM traffic on the masks (payload width was irrelevant in A/B runs).
 # The kernel below keeps everything in VMEM: squared distances from
 # coordinate PLANES (a trailing dim of 3 would pad to 128 lanes), ranks
-# as one triangular-matrix MXU dot (inclusive cumsum; f32 accumulation
-# is exact for counts <= N), then per centroid a [K_t, N] one-hot built
+# as a masked lane prefix sum (inclusive cumsum; f32 accumulation is
+# exact for counts <= N), then per centroid a [K_t, N] one-hot built
 # in registers and contracted with the [N, C] payload on the MXU.
 #
 # Grid: (B, K/K_t). Mosaic requires the last two block dims to divide
@@ -259,14 +259,35 @@ _onehot_select.defvjp(_onehot_select_fwd, _onehot_select_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _masked_rank(r2, ct, pt, tri):
+def _lane_prefix_sum(x):
+    """Inclusive prefix sum along the lane (last) axis: ceil(log2 N)
+    masked Hillis-Steele roll+add stages. Replaces the [N, N]
+    triangular-ones MXU dot the rank kernels used through round 3 —
+    that operand was 2 MB of bf16 resident in every rank kernel's VMEM
+    window and streamed from HBM, and at ~1.2 us/grid-step fixed cost
+    it dominated the extract-style kernels' overhead (round-4 tile
+    sweep). Each stage adds x[i - d] into x[i] — a RIGHT roll by d in
+    the jnp.roll convention pltpu.roll follows; lanes that wrapped in
+    from the end are masked by the iota compare. Exact for
+    small-integer f32 inputs (counts <= N << 2^24).
+    """
+    n = x.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    d = 1
+    while d < n:
+        x = x + jnp.where(iota >= d, pltpu.roll(x, d, x.ndim - 1), 0.0)
+        d *= 2
+    return x
+
+
+def _masked_rank(r2, ct, pt):
     """In-radius ranks for one batch row.
 
-    `ct` [3, S] / `pt` [3, N] are coordinate planes, `tri` [N, N] the
-    upper-triangular ones (bf16). Returns (rank_m [S, N] f32 — 1-based
-    in-radius rank, 0 out of radius, patched to mark the nearest point
-    as the single member for empty balls — and count [S, 1] f32, the
-    TRUE in-radius count, 0 for empty balls).
+    `ct` [3, S] / `pt` [3, N] are coordinate planes. Returns
+    (rank_m [S, N] f32 — 1-based in-radius rank, 0 out of radius,
+    patched to mark the nearest point as the single member for empty
+    balls — and count [S, 1] f32, the TRUE in-radius count, 0 for
+    empty balls).
     """
     s, n = ct.shape[-1], pt.shape[-1]
     d2 = jnp.zeros((s, n), jnp.float32)
@@ -275,11 +296,10 @@ def _masked_rank(r2, ct, pt, tri):
         d2 = d2 + diff * diff
     within = d2 <= r2
     # i1 -> bf16 selects hit a Mosaic relayout bug ((8,128) mask tiling
-    # into (16,128) bf16); select into f32 and cast instead.
-    wf = jnp.where(within, 1.0, 0.0).astype(jnp.bfloat16)
-    # Inclusive cumsum along N as one MXU dot; f32 accumulation of 0/1
-    # products is exact for counts <= N.
-    rank = jnp.dot(wf, tri, preferred_element_type=jnp.float32)
+    # into (16,128) bf16); select into f32.
+    wf = jnp.where(within, 1.0, 0.0)
+    # Inclusive cumsum along N; f32 accumulation of 0/1 is exact.
+    rank = _lane_prefix_sum(wf)
     count = rank[:, n - 1 : n]  # [S, 1]
     # Empty balls fall back to the nearest point (lowest index on ties,
     # matching jnp.argmin); argmin itself does not legalize in Mosaic.
@@ -342,14 +362,14 @@ def _onehot_tile(rank_ref, k, k_t, kt):
     return oh3.astype(jnp.bfloat16).reshape(s * k_t, n)
 
 
-def _extract_fwd_kernel(r2, k, k_t, ct, pt, tri, pay, out, cnt,
+def _extract_fwd_kernel(r2, k, k_t, ct, pt, pay, out, cnt,
                         rank_ref):
     s = ct.shape[-1]
     kt = pl.program_id(1)
 
     @pl.when(kt == 0)
     def _():
-        rank_m, count = _masked_rank(r2, ct[0], pt[0], tri[:])
+        rank_m, count = _masked_rank(r2, ct[0], pt[0])
         rank_ref[:] = rank_m
         cnt[0, 0, :] = count[:, 0].astype(jnp.int32)
 
@@ -358,14 +378,14 @@ def _extract_fwd_kernel(r2, k, k_t, ct, pt, tri, pay, out, cnt,
     out[0] = g.reshape(s, k_t, -1).astype(out.dtype)
 
 
-def _extract_bwd_kernel(r2, k, k_t, ct, pt, tri, dg, dpay,
+def _extract_bwd_kernel(r2, k, k_t, ct, pt, dg, dpay,
                         rank_ref, acc_ref):
     s = ct.shape[-1]
     kt = pl.program_id(1)
 
     @pl.when(kt == 0)
     def _():
-        rank_m, _ = _masked_rank(r2, ct[0], pt[0], tri[:])
+        rank_m, _ = _masked_rank(r2, ct[0], pt[0])
         rank_ref[:] = rank_m
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -394,12 +414,6 @@ def _slot_tiles(s: int, n: int, k: int) -> int:
     if k_t >= k or k % k_t:
         return k
     return k_t
-
-
-def _tri(n: int) -> jnp.ndarray:
-    iota0 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    iota1 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return jnp.where(iota0 <= iota1, 1.0, 0.0).astype(jnp.bfloat16)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -434,8 +448,6 @@ def _extract_fwd_call(centroids, xyz, payload, radius, nsample, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, n), lambda b_, kt: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda b_, kt: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda b_, kt: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -451,7 +463,7 @@ def _extract_fwd_call(centroids, xyz, payload, radius, nsample, interpret):
         ],
         scratch_shapes=[pltpu.VMEM((s, n), jnp.float32)],
         interpret=interpret,
-    )(ct, pt, _tri(n), payload)
+    )(ct, pt, payload)
     return grouped, cnt[:, 0, :]
 
 
@@ -479,8 +491,6 @@ def _extract_bwd_rule(radius, nsample, interpret, res, cts):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, n), lambda b_, kt: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda b_, kt: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, k_t, c), lambda b_, kt: (b_, 0, kt, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -490,7 +500,7 @@ def _extract_bwd_rule(radius, nsample, interpret, res, cts):
         scratch_shapes=[pltpu.VMEM((s, n), jnp.float32),
                         pltpu.VMEM((n, c), jnp.float32)],
         interpret=interpret,
-    )(ct, pt, _tri(n), dg.astype(pay_dtype))
+    )(ct, pt, dg.astype(pay_dtype))
     return (jnp.zeros_like(centroids), jnp.zeros_like(xyz), dpay)
 
 

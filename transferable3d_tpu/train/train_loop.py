@@ -187,13 +187,64 @@ def make_predict_step(model, cfg: bins_lib.BinConfig):
     return jax.jit(step_fn)
 
 
+def _flatten_lane_safe(inner):
+    """optax.flatten twin whose concatenated vector length shares no
+    divisor with any narrow (< 128) leaf trailing dim.
+
+    Why: with optax.flatten, XLA canonicalizes the T-Net center head's
+    unflatten (`reshape(flat[o:o+384], (128, 3))`) into
+    `reshape(flat, (-1, 3))[...]` whenever the TOTAL length divides by
+    3 — a linear->tiled relayout of the entire 1.65M-parameter vector
+    (lane width 3 pads to 128: ~42x write amplification, 0.83 ms/step
+    in the round-4 e2e profile, ~7% of the step). Padding the vector
+    with a few zeros makes that rewrite shape-illegal; wide (>= 128)
+    trailing dims relayout losslessly and are left alone. Adam on the
+    zero pad is a fixed point (m = v = g = 0), so the pad never leaks.
+    """
+    inner = optax.with_extra_args_support(inner)
+
+    def _pad_for(leaves, n):
+        dims = {l.shape[-1] for l in leaves
+                if l.ndim and 1 < l.shape[-1] < 128}
+        pad = 0
+        while any((n + pad) % d == 0 for d in dims):
+            pad += 1
+        return pad
+
+    def _flatten(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        flat = jnp.concatenate([jnp.reshape(l, (-1,)) for l in leaves])
+        return jnp.pad(flat, (0, _pad_for(leaves, flat.size)))
+
+    def _unflatten(like, flat):
+        leaves, treedef = jax.tree_util.tree_flatten(like)
+        out, o = [], 0
+        for l in leaves:
+            out.append(jnp.reshape(flat[o:o + l.size], l.shape))
+            o += l.size
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init_fn(params):
+        return inner.init(_flatten(params))
+
+    def update_fn(updates, state, params=None, **extra):
+        if params is not None:
+            params = _flatten(params)
+        flat, state = inner.update(_flatten(updates), state, params,
+                                   **extra)
+        return _unflatten(updates, flat), state
+
+    return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
 def make_optimizer(lr_schedule, clip_norm: Optional[float] = None,
                    grad_accum_steps: int = 1):
     """Adam with the reference's defaults (TF1 AdamOptimizer eps=1e-8).
 
-    Wrapped in optax.flatten: the update runs on one concatenated vector
-    instead of one op per parameter leaf — the per-leaf form contributed
-    hundreds of microsecond-scale ops per step on TPU.
+    Wrapped in a flatten transform: the update runs on one concatenated
+    vector instead of one op per parameter leaf — the per-leaf form
+    contributed hundreds of microsecond-scale ops per step on TPU (see
+    _flatten_lane_safe for why it is not optax.flatten verbatim).
 
     grad_accum_steps > 1 wraps in optax.MultiSteps (SURVEY.md §2.3
     gradient-accumulation row): params update every k-th microbatch.
@@ -201,7 +252,7 @@ def make_optimizer(lr_schedule, clip_norm: Optional[float] = None,
     tx = optax.adam(lr_schedule, eps=1e-8)
     if clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
-    tx = optax.flatten(tx)
+    tx = _flatten_lane_safe(tx)
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx
