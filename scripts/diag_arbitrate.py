@@ -34,7 +34,7 @@ args = (pf, qc, ws, bs)
 
 _, m_, v_ = fused_sa.fused_grouped_chain(
     cent, xyz, pf, qc, gammas, betas, ws, bs, radius, k, 1e-3,
-    True, None, True, "rows", "cached")
+    True, None, True, "rows")
 running = tuple((m_[i], v_[i]) for i in range(len(feats)))
 
 idx, cntq = ball_query(cent, xyz, radius, k)   # [B,S,K] indices
@@ -68,11 +68,11 @@ def loss_gather(a):
     return chain(grouped - qc_[:, :, None, :], ws_, bs_)
 
 
-def loss_fused(a, layout, schedule):
+def loss_fused(a, layout):
     pf_, qc_, ws_, bs_ = a
     out = fused_sa.fused_grouped_chain(
         cent, xyz, pf_, qc_, gammas, betas, ws_, bs_, radius, k,
-        1e-3, False, running, True, layout, schedule)
+        1e-3, False, running, True, layout)
     return jnp.sum(out[0].astype(jnp.float32))
 
 
@@ -83,7 +83,7 @@ print(f"primal: onehot={l_oh:.2f} gather={l_ga:.2f}", flush=True)
 
 g_ga = jax.jit(jax.grad(loss_gather))(args)
 g_oh = jax.jit(jax.grad(loss_onehot))(args)
-g_fu = jax.jit(jax.grad(lambda a: loss_fused(a, "rows", "cached")))(args)
+g_fu = jax.jit(jax.grad(lambda a: loss_fused(a, "rows")))(args)
 
 names = ["pf", "qc", "w0", "w1"]
 def rels(tag, gr, gn):

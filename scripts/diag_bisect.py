@@ -82,23 +82,23 @@ def unfused_pooled(a, running):
               ).astype(jnp.bfloat16) if i < len(feats) - 1 else h)
     return jnp.max(x, axis=2)
 
-def fused_pooled(a, train, running, schedule):
+def fused_pooled(a, train, running):
     pf_, qc_, ws_, bs_ = a
     out = fused_sa.fused_grouped_chain(
         cent, xyz, pf_, qc_, gammas, betas, ws_, bs_, radius, k,
-        1e-3, train, running, True, "rows", schedule)
+        1e-3, train, running, True, "rows")
     return out[0]
 
 args = (pf, qc, ws, bs)
 # identical running stats for both sides, from the fused train pass
 _, m_, v_ = fused_sa.fused_grouped_chain(
     cent, xyz, pf, qc, gammas, betas, ws, bs, radius, k, 1e-3,
-    True, None, True, "rows", "cached")
+    True, None, True, "rows")
 running = tuple((m_[i], v_[i]) for i in range(len(feats)))
 
 # ---- stage 3: eval pooled bitwise
 p_u = np.asarray(unfused_pooled(args, running), np.float32)
-p_f = np.asarray(fused_pooled(args, False, running, "cached"),
+p_f = np.asarray(fused_pooled(args, False, running),
                  np.float32)
 print(f"eval pooled bitwise mismatches: {int((p_u != p_f).sum())} "
       f"/ {p_u.size}  maxabs={np.abs(p_u-p_f).max():.3e}", flush=True)
@@ -116,20 +116,18 @@ def rels(gr, gn):
 
 gr = jax.jit(jax.grad(lambda a: jnp.sum(
     unfused_pooled(a, running).astype(jnp.float32))))(args)
-for sched in ("cached", "recompute"):
-    gn = jax.jit(jax.grad(lambda a: jnp.sum(fused_pooled(
-        a, False, running, sched).astype(jnp.float32))))(args)
-    print(f"eval grads {sched}: {rels(gr, gn)}", flush=True)
+gn = jax.jit(jax.grad(lambda a: jnp.sum(fused_pooled(
+    a, False, running).astype(jnp.float32))))(args)
+print(f"eval grads: {rels(gr, gn)}", flush=True)
 
 # ---- stage 5: train pooled + grads
 p_u = np.asarray(unfused_pooled(args, None), np.float32)
-p_f = np.asarray(fused_pooled(args, True, None, "cached"), np.float32)
+p_f = np.asarray(fused_pooled(args, True, None), np.float32)
 print(f"train pooled: mismatches={int((p_u != p_f).sum())}/{p_u.size} "
       f" maxrel={np.abs(p_u-p_f).max()/np.abs(p_u).max():.2e}", flush=True)
 gr = jax.jit(jax.grad(lambda a: jnp.sum(
     unfused_pooled(a, None).astype(jnp.float32))))(args)
-for sched in ("cached", "recompute"):
-    gn = jax.jit(jax.grad(lambda a: jnp.sum(fused_pooled(
-        a, True, None, sched).astype(jnp.float32))))(args)
-    print(f"train grads {sched}: {rels(gr, gn)}", flush=True)
+gn = jax.jit(jax.grad(lambda a: jnp.sum(fused_pooled(
+    a, True, None).astype(jnp.float32))))(args)
+print(f"train grads: {rels(gr, gn)}", flush=True)
 print("DONE", flush=True)

@@ -2,11 +2,11 @@
 
 bench_v2_stages.py gives per-STAGE totals; this drills one stage down to
 individual Pallas passes (extract / fwd_step / pool / bwd_top /
-bwd_step / dz1, and their recompute-schedule counterparts) by profiling
+bwd_step / dz1) by profiling
 a single fused_grouped_chain fwd+bwd per MSG scale and aggregating the
 xplane exclusive times per custom-call name.
 
-Usage: python scripts/profile_sa_kernels.py [--schedule cached]
+Usage: python scripts/profile_sa_kernels.py
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ SCALES = [(32, (32, 32, 64)), (64, (64, 64, 128)), (128, (64, 96, 128))]
 S = 128
 
 
-def one_scale(rng, k, feats, schedule):
+def one_scale(rng, k, feats):
     f1 = feats[0]
     cent = jnp.asarray(rng.uniform(-2, 2, (B, S, 3)).astype(np.float32))
     xyz = jnp.asarray(rng.uniform(-2, 2, (B, N, 3)).astype(np.float32))
@@ -49,7 +49,7 @@ def one_scale(rng, k, feats, schedule):
         pf_, qc_, ws_, bs_ = args
         pooled, _, _ = fused_sa.fused_grouped_chain(
             cent, xyz, pf_, qc_, gammas, betas, ws_, bs_, 0.8, k, 1e-3,
-            True, None, False, LAYOUT, schedule)
+            True, None, False, LAYOUT)
         return jnp.sum(pooled.astype(jnp.float32))
 
     g = jax.jit(jax.grad(loss))
@@ -64,7 +64,6 @@ LAYOUT = "rows"
 def main():
     global LAYOUT
     p = argparse.ArgumentParser()
-    p.add_argument("--schedule", default="cached")
     p.add_argument("--layout", default="rows")
     p.add_argument("--steps", type=int, default=3)
     args = p.parse_args()
@@ -72,7 +71,7 @@ def main():
     jax.config.update("jax_default_prng_impl", "rbg")
 
     rng = np.random.RandomState(0)
-    fns = [one_scale(rng, k, feats, args.schedule)
+    fns = [one_scale(rng, k, feats)
            for k, feats in SCALES]
 
     tdir = "/tmp/sa_kernel_trace"
@@ -85,7 +84,7 @@ def main():
     ps = xplane_exclusive_ps(tdir)
     rows = sorted(ps.items(), key=lambda kv: -kv[1])
     total = sum(ps.values())
-    print(f"schedule={args.schedule} layout={LAYOUT}  total device "
+    print(f"layout={LAYOUT}  total device "
           f"{total / 1e9 / args.steps:.3f} ms/step over {len(rows)} ops")
     for name, v in rows[:28]:
         print(f"  {v / 1e9 / args.steps:8.3f} ms  {100 * v / total:5.1f}%"

@@ -4,7 +4,7 @@
 # lane-safe optimizer flatten (e2e 0.83 ms relayout fix).
 set -x
 cd /root/repo
-LOG=/root/repo/artifacts/r4_measure3.log
+LOG=${T3D_LOG:-/root/repo/artifacts/r5_measure1.log}
 echo "=== $(date -u) start ===" >> $LOG
 
 echo "=== validate fused-SA kernels on TPU (prefix-sum rank) ===" >> $LOG
@@ -26,7 +26,7 @@ echo "=== v1 train bench (lane-safe flatten sanity) ===" >> $LOG
 timeout 2400 python bench.py >> $LOG 2>&1
 
 echo "=== scoped-vmem probe: 32M + EXTRACT_MB=32, seg+box sa1 ===" >> $LOG
-XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=32768 T3D_SA_EXTRACT_MB=32 \
+LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=32768 T3D_SA_EXTRACT_MB=32 \
   timeout 2400 python scripts/bench_v2_stages.py --stages seg_sa1,box_sa1 >> $LOG 2>&1
 
 echo "=== $(date -u) done ===" >> $LOG

@@ -153,7 +153,7 @@ def scale_passes(name, s, k, n, mlp, layout, planar_top="fused"):
                        r * (m1 + m2) * VPU_OPS_PER_ELEM))
     if layout == "planar":        # planar keeps the pool pass
         # segment max = log2(K) lane rolls + the exact hi/lo ymax
-        # selection dots (T3D_PLANAR_TOP=fused top-stat emission)
+        # selection dots (the XLA top-stat emission)
         passes.append(Pass(f"{name}/fwd_pool", zb[2] + s * m2 * 2,
                            rep_f * m2, (2 * lg_k + 6) * r * m2))
     # bwd: step_top (j=1): reads z1, z2, pooled+dpooled; writes dy_1;

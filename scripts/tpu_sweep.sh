@@ -10,74 +10,80 @@ mkdir -p artifacts
 FIRST=${1:-0}
 LAST=${2:-8}
 run_stage() { [ "$1" -ge "$FIRST" ] && [ "$1" -le "$LAST" ]; }
-LOG=/root/repo/artifacts/tpu_sweep_r4.log
+LOG=${T3D_SWEEP_LOG:-/root/repo/artifacts/tpu_sweep_r5.log}
 ln -sf $LOG /tmp/tpu_sweep.log   # keep the documented tail path working
 echo "=== $(date -u) start ===" >> $LOG
 
+# Every stage command runs through `mark`, which appends an explicit
+# "stage N ok" / "stage N FAILED rc=..." line — a stage header with no
+# closing marker means it was killed mid-run (round-4 verdict: silent
+# sweep deaths read as "ran, no change").
+mark() {
+  local stage="$1"; shift
+  if "$@" >> $LOG 2>&1; then
+    echo "+++ stage $stage ok" >> $LOG
+  else
+    echo "+++ stage $stage FAILED rc=$?" >> $LOG
+    return 1
+  fi
+}
+
 if run_stage 0; then
 echo "=== stage 0: kernel validation ===" >> $LOG
-if ! timeout 3000 python scripts/validate_sa_tpu.py >> $LOG 2>&1; then
-  # Non-fatal: v1/e2e benches don't touch the fused-SA kernels, and the
-  # per-mode timeouts in bench.py --all survive a broken v2 path. Apply
-  # the documented Mosaic fallback for the rest of the run.
-  echo "VALIDATION FAILED — continuing with T3D_PLANAR_TOP=store fallback" >> $LOG
-  export T3D_PLANAR_TOP=store
+if ! mark 0 timeout 3000 python scripts/validate_sa_tpu.py; then
+  # Fatal for the v2 stages: since round 5 there is no alternative
+  # schedule to fall back to — record loudly and skip v2 kernels work.
+  echo "VALIDATION FAILED — v2 numbers below are untrusted" >> $LOG
 fi
 fi
 
 if run_stage 1; then
 echo "=== stage 1: v2 train bench ===" >> $LOG
-T3D_MODEL=v2 timeout 2400 python bench.py >> $LOG 2>&1
+mark 1 env T3D_MODEL=v2 timeout 2400 python bench.py
 fi
 
 if run_stage 2; then
 echo "=== stage 2: all-mode bench artifact ===" >> $LOG
-timeout 6000 python bench.py --all >> $LOG 2>&1
+mark 2 timeout 6000 python bench.py --all
 fi
 
 if run_stage 3; then
 echo "=== stage 3: per-stage timings ===" >> $LOG
-timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
+mark 3 timeout 2400 python scripts/bench_v2_stages.py
 fi
 
 if run_stage 4; then
-echo "=== stage 4: chain-rows / extract sweeps ===" >> $LOG
-for ROWS in 8192 16384; do
-  echo "--- T3D_SA_CHAIN_ROWS=$ROWS ---" >> $LOG
-  T3D_SA_CHAIN_ROWS=$ROWS timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
-done
-for MB in 16 32; do
+echo "=== stage 4: extract-tile sweep (the one remaining knob) ===" >> $LOG
+for MB in 8 16; do
   echo "--- T3D_SA_EXTRACT_MB=$MB ---" >> $LOG
-  T3D_SA_EXTRACT_MB=$MB timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
+  mark "4(mb=$MB)" env T3D_SA_EXTRACT_MB=$MB timeout 2400 python scripts/bench_v2_stages.py
 done
-echo "--- T3D_PLANAR_TOP=store ---" >> $LOG
-T3D_PLANAR_TOP=store timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
-echo "--- T3D_PLANAR_MIN_ROWS=2048 ---" >> $LOG
-T3D_PLANAR_MIN_ROWS=2048 timeout 2400 python scripts/bench_v2_stages.py >> $LOG 2>&1
+echo "--- T3D_SA_EXTRACT_MB=32 + scoped-vmem 32MB (round-4 OOM probe) ---" >> $LOG
+mark "4(mb=32,vmem32)" env T3D_SA_EXTRACT_MB=32 \
+  LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=32768 \
+  timeout 2400 python scripts/bench_v2_stages.py
 fi
 
 if run_stage 5; then
 echo "=== stage 5: per-kernel fused-SA profile (v2 residue) ===" >> $LOG
-timeout 2400 python scripts/profile_sa_kernels.py >> $LOG 2>&1
+mark 5 timeout 2400 python scripts/profile_sa_kernels.py
 fi
 
 if run_stage 6; then
-echo "=== stage 6: profile diffs (verdict item 5 discrepancies) ===" >> $LOG
-timeout 2400 python scripts/profile_step.py v1 >> $LOG 2>&1
-timeout 2400 python scripts/profile_step.py v2 >> $LOG 2>&1
+echo "=== stage 6: step profiles ===" >> $LOG
+mark "6(v1)" timeout 2400 python scripts/profile_step.py v1
+mark "6(v2)" timeout 2400 python scripts/profile_step.py v2
 fi
-
-echo "=== $(date -u) sweep done (stages $FIRST..$LAST) ===" >> $LOG
 
 if run_stage 7; then
 echo "=== stage 7: bookshelf-floor diagnosis (verdict item 9) ===" >> $LOG
 # Floor seeds 4,5 + healthy contrast 7 from transfer_study5.json, with
 # per-class trust-gate/loss CSV diagnostics. ~45 min on v1.
-timeout 5400 python scripts/transfer_study.py --seed_list 4,5,7 \
+mark 7 timeout 5400 python scripts/transfer_study.py --seed_list 4,5,7 \
   --epochs 150 --boxpc_epochs 40 --train_size 4096 --val_size 1024 \
   --num_point 512 --batch_size 64 --weak_warmup_steps 2000 --diag \
   --variants transfer --out_dir /tmp/transfer_diag \
-  --out_json transfer_diag_bookshelf.json >> $LOG 2>&1
+  --out_json transfer_diag_bookshelf.json
 # Run dirs hold orbax checkpoints (too big for the repo) — preserve
 # just the per-class diagnostic CSVs as committed artifacts.
 for d in /tmp/transfer_diag/*/; do
@@ -90,16 +96,16 @@ if run_stage 8; then
 echo "=== stage 8: v2-backbone 8v8 transfer study (verdict item 6) ===" >> $LOG
 # Same protocol as study5 but --model frustum_pointnets_v2; seed-major
 # loop + incremental json means a cut-off still yields balanced data.
-timeout 28800 python scripts/transfer_study.py --seeds 8 \
+mark 8 timeout 28800 python scripts/transfer_study.py --seeds 8 \
   --epochs 150 --boxpc_epochs 40 --train_size 4096 --val_size 1024 \
   --num_point 512 --batch_size 64 --weak_warmup_steps 2000 --diag \
   --model frustum_pointnets_v2 --variants transfer,control \
   --out_dir /tmp/transfer_study6 \
-  --out_json transfer_study6.json >> $LOG 2>&1
+  --out_json transfer_study6.json
 for d in /tmp/transfer_study6/*/; do
   n=$(basename "$d")
   cp "$d"/metrics_train.csv "artifacts/study6_${n}_metrics.csv" 2>/dev/null
 done
 fi
 
-echo "=== $(date -u) queue2 done ===" >> $LOG
+echo "=== $(date -u) sweep done (stages $FIRST..$LAST) ===" >> $LOG

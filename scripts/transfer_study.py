@@ -65,7 +65,8 @@ def run_one(variant: str, seed: int, args) -> dict:
         weak_weight=0.0 if variant == "control" else args.weak_weight,
         weak_warmup_steps=args.weak_warmup_steps,
         weak_fit=wf, weak_refine=wr, weak_reproj=wp, weak_size_prior=ws,
-        weak_size_cls=wsc, weak_trust_gate=trust)
+        weak_size_cls=wsc, weak_trust_gate=trust,
+        boxpc_aniso_aug=args.boxpc_aniso_aug)
 
     t0 = time.time()
     train_semisup.train(cfg)
@@ -112,6 +113,9 @@ def main():
                    help="log per-class trust-gate/loss diagnostics to"
                         " the run's metrics_train.csv (verdict item 9)")
     p.add_argument("--weak_weight", type=float, default=1.0)
+    p.add_argument("--boxpc_aniso_aug", type=float, default=0.8,
+                   help="phase-A joint cloud+box anisotropic rescale "
+                        "log-range (0 disables; bookshelf fix A/B)")
     p.add_argument("--weak_warmup_steps", type=int, default=0)
     p.add_argument("--variants", default="transfer,control,no_fit,"
                                          "no_refine,no_reproj,no_prior")

@@ -65,11 +65,10 @@ def make(s, k, feats, seed, integer=False):
 
 
 def rows_for(s, k, feats):
-    import os
-    pm = int(os.environ.get("T3D_PLANAR_MIN_ROWS", "4096"))
+    # mirrors models/pointnet2.py's fixed per-scale layout rule
     rows = s * k
     return ("planar" if min(feats) < 128 and rows % 128 == 0
-            and rows >= pm else "rows")
+            and rows >= 4096 else "rows")
 
 
 for (s, k, feats, radius) in CONFIGS:
@@ -83,7 +82,7 @@ for (s, k, feats, radius) in CONFIGS:
             1e-3, train,
             None if train else tuple((jnp.zeros((f,)), jnp.ones((f,)))
                                      for f in feats),
-            False, layout, "cached")
+            False, layout)
         return out[0]
 
     def loss(args, train):
@@ -182,7 +181,7 @@ def run_cross_check(integer):
             pf_, qc_, ws_, bs_ = a
             out = fused_sa.fused_grouped_chain(
                 cent, xyz, pf_, qc_, gammas, betas, ws_, bs_, radius, k,
-                1e-3, True, None, False, layout, "cached")
+                1e-3, True, None, False, layout)
             return jnp.sum(out[0].astype(jnp.float32))
         gn = jax.jit(jax.grad(fused))(args)
         for nm, a, b in zip(names, gr, gn):

@@ -69,6 +69,36 @@ def test_perturbation_targets_exactness():
     np.testing.assert_array_equal(np.asarray(t_same["fit_label"]), 1.0)
 
 
+def test_anisotropic_shape_aug_consistency():
+    """Joint cloud+box rescale: the inside-box mask and the
+    box-half-size-normalized (canonicalized) coordinates are invariant;
+    the box size actually changes."""
+    rng = np.random.RandomState(5)
+    n, npts = 8, 64
+    gt = BoxParams(
+        center=jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32)),
+        size=jnp.asarray(rng.uniform(0.5, 3, (n, 3)).astype(np.float32)),
+        heading=jnp.asarray(
+            rng.uniform(-np.pi, np.pi, n).astype(np.float32)))
+    pts = jnp.asarray(rng.uniform(-4, 4, (n, npts, 4)).astype(np.float32))
+    new_pts, new_gt = semisup.anisotropic_shape_aug(
+        jax.random.PRNGKey(0), pts, gt, log_range=0.8, frac=1.0)
+    f0 = boxpc_lib.canonicalize_points(pts[..., :3], gt)
+    f1 = boxpc_lib.canonicalize_points(new_pts[..., :3], new_gt)
+    # normalized coords + inside mask invariant (channels 0:3 and 6)
+    np.testing.assert_allclose(np.asarray(f1[..., :3]),
+                               np.asarray(f0[..., :3]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(f1[..., 6]),
+                                  np.asarray(f0[..., 6]))
+    # extra channels untouched, sizes actually changed
+    np.testing.assert_array_equal(np.asarray(new_pts[..., 3]),
+                                  np.asarray(pts[..., 3]))
+    assert float(jnp.max(jnp.abs(jnp.log(new_gt.size / gt.size)))) > 0.1
+    # and a self-fit target is still a positive label
+    t = boxpc_lib.boxpc_targets(new_gt, new_gt)
+    np.testing.assert_array_equal(np.asarray(t["fit_label"]), 1.0)
+
+
 def test_boxpc_trains_and_learns_fit():
     batch = _strong_batch(n=16)
     model = BoxPCFitNet(cfg=CFG)

@@ -18,9 +18,9 @@ B, S, N, F0, K, R = 2, 8, 64, 16, 16, 0.9
 FEATS = (F0, 24, 40)
 L = len(FEATS)
 EPS = 1e-3
-# (layout, pass-schedule) combinations of fused_grouped_chain.
-MODES = [("rows", "recompute"), ("planar", "recompute"),
-         ("rows", "cached"), ("planar", "cached")]
+# z-storage layouts of fused_grouped_chain (the cached-z pass schedule
+# is the only one since round 4 retired the recompute schedule).
+LAYOUTS = ["rows", "planar"]
 
 
 def _setup(seed, integer_data=False):
@@ -85,12 +85,12 @@ def _ref(cent, xyz, args, running=None, folded=False):
     return jnp.max(x, axis=2), means, variances
 
 
-@pytest.mark.parametrize("layout,schedule", MODES)
-def test_forward_train_matches_unfused(layout, schedule):
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_forward_train_matches_unfused(layout):
     cent, xyz, args = _setup(0)
     p_ref, m_ref, v_ref = _ref(cent, xyz, args)
     p, m, v = fused_sa.fused_grouped_chain(cent, xyz, *args, R, K, EPS,
-                                           True, None, True, layout, schedule)
+                                           True, None, True, layout)
     pr = np.asarray(p_ref.astype(jnp.float32))
     pg = np.asarray(p.astype(jnp.float32))
     scale = np.abs(pr).max()
@@ -102,15 +102,15 @@ def test_forward_train_matches_unfused(layout, schedule):
                                    atol=5e-3)
 
 
-@pytest.mark.parametrize("layout,schedule", MODES)
-def test_eval_mode_bit_exact_and_grads(layout, schedule):
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_eval_mode_bit_exact_and_grads(layout):
     cent, xyz, args = _setup(1)
     _, m, v = fused_sa.fused_grouped_chain(cent, xyz, *args, R, K, EPS,
-                                           True, None, True, layout, schedule)
+                                           True, None, True, layout)
     running = tuple((m[i], v[i]) for i in range(L))
     p_ref, _, _ = _ref(cent, xyz, args, running=running)
     p, _, _ = fused_sa.fused_grouped_chain(cent, xyz, *args, R, K, EPS,
-                                           False, running, True, layout, schedule)
+                                           False, running, True, layout)
     np.testing.assert_array_equal(
         np.asarray(p_ref.astype(jnp.float32)),
         np.asarray(p.astype(jnp.float32)))
@@ -121,7 +121,7 @@ def test_eval_mode_bit_exact_and_grads(layout, schedule):
         _ref(cent, xyz, a, running=running)[0].astype(jnp.float32)
         * w_r))(args)
     gn = jax.grad(lambda a: jnp.sum(fused_sa.fused_grouped_chain(
-        cent, xyz, *a, R, K, EPS, False, running, True, layout, schedule)[0].astype(
+        cent, xyz, *a, R, K, EPS, False, running, True, layout)[0].astype(
             jnp.float32) * w_r))(args)
     for a, b in zip(jax.tree_util.tree_leaves(gr),
                     jax.tree_util.tree_leaves(gn)):
@@ -130,15 +130,15 @@ def test_eval_mode_bit_exact_and_grads(layout, schedule):
         assert np.linalg.norm(a - b) / max(1e-6, np.linalg.norm(a)) < 0.02
 
 
-@pytest.mark.parametrize("layout,schedule", MODES)
-def test_train_grads_match_with_exact_stats(layout, schedule):
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_train_grads_match_with_exact_stats(layout):
     """Integer data -> exact batch statistics -> the train-mode BN
     backward (statistic correction terms) is testable tightly."""
     cent, xyz, args = _setup(3, integer_data=True)
     gr = jax.grad(lambda a: jnp.sum(
         _ref(cent, xyz, a, folded=True)[0].astype(jnp.float32)))(args)
     gn = jax.grad(lambda a: jnp.sum(fused_sa.fused_grouped_chain(
-        cent, xyz, *a, R, K, EPS, True, None, True, layout, schedule)[0].astype(
+        cent, xyz, *a, R, K, EPS, True, None, True, layout)[0].astype(
             jnp.float32)))(args)
     _assert_grads_close(gr, gn)
 
@@ -179,20 +179,20 @@ def test_depth2_cached_grads(layout):
         gr = jax.grad(lambda a: jnp.sum(
             _ref(cent, xyz, a, folded=True)[0].astype(jnp.float32)))(args)
         gn = jax.grad(lambda a: jnp.sum(fused_sa.fused_grouped_chain(
-            cent, xyz, *a, R, K, EPS, True, None, True, layout,
-            "cached")[0].astype(jnp.float32)))(args)
+            cent, xyz, *a, R, K, EPS, True, None, True,
+            layout)[0].astype(jnp.float32)))(args)
         _assert_grads_close(gr, gn)
     finally:
         FEATS, L = feats_save, l_save
 
 
-@pytest.mark.parametrize("layout,schedule", MODES)
-def test_geometry_grads_are_zero(layout, schedule):
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_geometry_grads_are_zero(layout):
     cent, xyz, args = _setup(4)
 
     def loss(c, x):
         p, _, _ = fused_sa.fused_grouped_chain(c, x, *args, R, K, EPS,
-                                               True, None, True, layout, schedule)
+                                               True, None, True, layout)
         return jnp.sum(p.astype(jnp.float32))
 
     dc, dx = jax.grad(loss, argnums=(0, 1))(cent, xyz)

@@ -189,26 +189,19 @@ class GroupedPointMLP(nn.Module):
         # row-major otherwise (the planar segment/replication ops
         # regress at small S*K — measured round 2).
         rows = new_xyz.shape[1] * self.nsample
-        planar_min = int(os.environ.get("T3D_PLANAR_MIN_ROWS", "4096"))
         # Planar only pays when row-major storage would pad: z tensors
         # with F >= 128 are lane-dense either way, and planar's
         # segment-max rolls + replication dots then cost ~+1.4 ms at
-        # the seg-SA2 K=128 scale (measured round 3).
+        # the seg-SA2 K=128 scale (measured round 3). The 4096-row
+        # threshold was swept in round 4 (2048 regressed +0.4 ms) and
+        # is fixed, not a knob.
         padded = min(self.features) < 128
         layout = ("planar" if padded and rows % 128 == 0
-                  and rows >= planar_min else "rows")
-        # Pass schedule (round 3): "cached" stores every layer's bf16
-        # preactivation so no chain dot is ever recomputed (the passes
-        # become HBM streamers — see ops/fused_sa cached section).
-        # Default since measured strictly faster at every SA stage
-        # (seg-SA1 50.4->41.9 ms fwd+bwd, whole-v2 1582->1846 f/s).
-        # cached composes with either layout; the planar rule above
-        # (dense storage at large S*K) applies unchanged.
-        schedule = os.environ.get("T3D_SA_SCHEDULE", "cached")
+                  and rows >= 4096 else "rows")
         pooled, means, variances = fused_sa.fused_grouped_chain(
             new_xyz, xyz, pf, qc, tuple(gammas), tuple(betas),
             tuple(ws), tuple(bs), self.radius, self.nsample, 1e-3,
-            train, running, fused_sa.INTERPRET, layout, schedule)
+            train, running, fused_sa.INTERPRET, layout)
         if train and not self.is_initializing():
             m = jnp.asarray(bn_momentum, jnp.float32)
             for i in range(len(fs)):

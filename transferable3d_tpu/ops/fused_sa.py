@@ -54,10 +54,12 @@ import os
 
 from transferable3d_tpu.ops.grouping import _lane_prefix_sum
 
-# Target rows (s_chunk * K) per chain-pass tile / MB budget for the
-# one-hot build in extraction-style passes. Env-tunable for sweeps
-# (read at trace time).
-_CHAIN_ROWS = int(os.environ.get("T3D_SA_CHAIN_ROWS", "4096"))
+# Target rows (s_chunk * K) per chain-pass tile: the round-4 stage-4
+# sweep measured 2048..16384 flat (±0.1 ms), so the value is fixed; the
+# VMEM-budget min() below is what actually binds at wide layers.
+_CHAIN_ROWS = 4096
+# MB budget for the one-hot build in extraction-style passes — the one
+# remaining sweep knob (read at trace time).
 _EXTRACT_MB = os.environ.get("T3D_SA_EXTRACT_MB", "")
 
 
@@ -71,13 +73,6 @@ def _extract_mb(n):
     if _EXTRACT_MB:
         return int(_EXTRACT_MB)
     return 16 if n >= 1024 else 8
-# Planar top-layer backward: "fused" derives the top BN-stat sums in an
-# XLA epilogue from the pool pass's pre-relu segment max (no top pass,
-# no stored dy_{L-1}; the j = depth-2 step redoes the pool grad);
-# "store" keeps the round-3 kernel top pass. Rows always fuses (its z
-# extrema come free from the last fwd step).
-_PLANAR_TOP = os.environ.get("T3D_PLANAR_TOP", "fused")
-
 # Test hook: models.pointnet2 passes this as the interpret flag so CPU
 # tests can exercise the fused module path (see tests/test_fused_sa.py).
 INTERPRET = False
@@ -143,37 +138,6 @@ def _expand_rows(ref, k):
     and 3-D bf16 broadcasts do not legalize in Mosaic; f32 repeat
     does, and equality against f32-cast bf16 values stays exact."""
     return jnp.repeat(_f32(ref[0]), k, axis=0)
-
-
-def _pool_grad(h_last, pooled_rows, dpooled_rows, ties_rows):
-    mask = jnp.where(_f32(h_last) == pooled_rows, 1.0, 0.0)
-    return _bf16(dpooled_rows * mask / jnp.maximum(ties_rows, 1.0))
-
-
-def _down_to(j, zs, hs, packs, ws, dh_top, train):
-    """Backward cascade from layer L-1 down: returns (dy_j, dz_{j+1}).
-
-    Requires packs[i] rows 4/5 (mdy, mdyx) final for all i > j.
-    """
-    depth = len(packs)
-    dh = dh_top
-    dz_next = None
-    for i in range(depth - 1, j - 1, -1):
-        # bf16 comparisons do not legalize in Mosaic; compare in f32.
-        dy = jnp.where(_f32(hs[i]) > 0, dh, jnp.bfloat16(0))
-        if i == j:
-            return dy, dz_next
-        a, mu, r = packs[i][0:1, :], packs[i][2:3, :], packs[i][3:4, :]
-        if train:
-            mdy, mdyx = packs[i][4:5, :], packs[i][5:6, :]
-            xhat = (_f32(zs[i]) - mu) * r
-            dz = _bf16((_f32(dy) - mdy - xhat * mdyx) * a)
-        else:
-            dz = _bf16(_f32(dy) * a)
-        dz_next = dz
-        dh = _bf16(jnp.dot(dz, _bf16(ws[i - 1][:]).T,
-                           preferred_element_type=jnp.float32))
-    raise AssertionError("unreachable")
 
 
 # ---------------------------------------------------------------------------
@@ -1170,30 +1134,6 @@ def _chain_all_p(z1_cols, packs, ws, bs):
     return zs, hs
 
 
-def _down_to_p(j, zs, hs, packs, ws, dh_top, train):
-    """Planar twin of _down_to (backward cascade)."""
-    depth = len(packs)
-    dh = dh_top
-    dz_next = None
-    for i in range(depth - 1, j - 1, -1):
-        dy = jnp.where(_f32(hs[i]) > 0, dh, jnp.bfloat16(0))
-        if i == j:
-            return dy, dz_next
-        a, mu, r = (packs[i][:, 0:1], packs[i][:, 2:3], packs[i][:, 3:4])
-        if train:
-            mdy, mdyx = packs[i][:, 4:5], packs[i][:, 5:6]
-            xhat = (_f32(zs[i]) - mu) * r
-            dz = _bf16((_f32(dy) - mdy - xhat * mdyx) * a)
-        else:
-            dz = _bf16(_f32(dy) * a)
-        dz_next = dz
-        dh = _bf16(jax.lax.dot_general(
-            _bf16(ws[i - 1][:]), dz,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    raise AssertionError("unreachable")
-
-
 def _seg_max_lanes(x_cols, k):
     """Segment max over lane groups of K (power of two): after log2 K
     roll+max steps, lane s*K of each group holds the group max (upper
@@ -1321,8 +1261,6 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
     assert qc.dtype == jnp.bfloat16, qc.dtype
     b, s, _ = new_xyz.shape
     k = nsample
-    f0 = pf.shape[-1]
-    n = xyz.shape[1]
     f_max = max(g.shape[0] for g in gammas)
     planar = layout == "planar"
     if not train and not with_residuals:
@@ -1386,11 +1324,10 @@ def _fwd_impl(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
     return pooled, means, variances, tuple(zs), packs, pool_aux
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 13, 14, 15))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 13, 14))
 def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
                         radius, nsample, eps, train, running,
-                        interpret=False, layout="rows",
-                        schedule="recompute"):
+                        interpret=False, layout="rows"):
     """Fused ball-query + grouped-MLP chain + max-pool (one SA scale).
 
     Args: new_xyz [B,S,3] f32 centroids; xyz [B,N,3] f32 points;
@@ -1421,16 +1358,15 @@ def fused_grouped_chain(new_xyz, xyz, pf, qc, gammas, betas, ws, bs,
     # which keeps the multi-pass schedule and its residuals.
     pooled, means, variances, _, _, _ = _fwd_impl(
         new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius, nsample,
-        eps, train, running, interpret, layout, schedule,
-        with_residuals=False)
+        eps, train, running, interpret, layout, with_residuals=False)
     return pooled, tuple(means), tuple(variances)
 
 
 def _fgc_fwd(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
-             nsample, eps, train, running, interpret, layout, schedule):
+             nsample, eps, train, running, interpret, layout):
     pooled, means, variances, zs, packs, pool_aux = _fwd_impl(
         new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius, nsample,
-        eps, train, running, interpret, layout, schedule)
+        eps, train, running, interpret, layout)
     # pf/qc ride along for the cached schedule's fused j=0 step (qc
     # feeds the in-kernel M^T qc dot, pf the XLA dz1 epilogue); they
     # are op inputs, so this adds no residual memory. pool_aux carries
@@ -1440,153 +1376,97 @@ def _fgc_fwd(new_xyz, xyz, pf, qc, gammas, betas, ws, bs, radius,
     return (pooled, tuple(means), tuple(variances)), res
 
 
-def _fgc_bwd(radius, nsample, eps, train, interpret, layout, schedule,
-             res, cts):
+def _fgc_bwd(radius, nsample, eps, train, interpret, layout, res, cts):
     (new_xyz, xyz, zs, pooled, packs, ws, bs, pf_res, qc_res,
      running, pool_aux) = res
-    z1 = zs[0]
     dpooled = cts[0]  # stats cotangents ignored (variable updates)
     depth = len(packs)
     b, s = pooled.shape[:2]
     k = nsample
-    f0 = packs[0].shape[-1]
-    n = xyz.shape[1]
     f_max = max(p_.shape[-1] for p_ in packs)
     m = b * s * k
     planar = layout == "planar"
     packs = list(packs)
-    ties = None
-    dy0 = None
     dgammas, dbetas = [None] * depth, [None] * depth
     dws, dbs = [None] * (depth - 1), [None] * (depth - 1)
-    if schedule == "cached":
-        fdims = [p_.shape[-1] for p_ in packs]
-        step = _call_bwd_step_cp if planar else _call_bwd_step
-        # The top layer's BN-stat sums come from an XLA epilogue over
-        # the pool extrema (no kernel pass, no stored dy_{L-1}; the
-        # j = depth-2 step redoes the pool grad in-VMEM). Exact for
-        # sdy; sdyx recovers the argmax row's z from pool_aux — exact
-        # for rows (true z extrema), one f32 divide away for planar.
-        # Subgradient caveat (advisor, round 3): on bf16-rounding TIES
-        # (several rows' bf16 h equal to pooled) — and for a == 0
-        # channels, where zmin stands in regardless — this epilogue
-        # attributes the whole pool cotangent to the single z-extremum
-        # row, while the j = depth-2 in-kernel pool-grad redo
-        # tie-splits dy among all tied rows. Both are valid
-        # subgradients of max; the store schedule tie-splits both, so
-        # cached-vs-store gradients can differ at tied rows (parity
-        # tests pass at 2% rel tol). If exact store-path agreement is
-        # ever asserted, compute sdyx under the same tie-split rule.
-        # T3D_PLANAR_TOP=store keeps the round-3 planar top pass for
-        # A/B (the pool-grad redo once measured slower than the saved
-        # dy stream, before the top pass itself was on the table).
-        xla_top = (not planar) or _PLANAR_TOP == "fused"
-        dy_next = None
-        h_acc = mq = cnt = sdy_s = sz_s = None
-        for j in range(depth - 1, -1, -1):
-            if j == depth - 1:
-                if xla_top:
-                    aL, cL = packs[j][0], packs[j][1]
-                    muL, rL = packs[j][2], packs[j][3]
-                    if planar:
-                        (ymax,) = pool_aux
-                        zsel = (ymax - cL) / jnp.where(aL == 0.0, 1.0,
-                                                       aL)
-                    else:
-                        zmax, zmin = pool_aux
-                        zsel = jnp.where(aL > 0, zmax, zmin)
-                    mask = _f32(pooled) > 0
-                    dyp = jnp.where(mask, _f32(dpooled), 0.0)
-                    sdy = jnp.sum(dyp, axis=(0, 1))[None]
-                    sdyx = jnp.sum(dyp * ((zsel - muL) * rL),
-                                   axis=(0, 1))[None]
-                elif planar:
-                    dy_next, sdy, sdyx = _call_bwd_top_cp(
-                        train, zs[j], s, k, fdims[j], packs[j], pooled,
-                        dpooled, f_max, interpret)
-                else:
-                    sdy, sdyx = _call_bwd_top(
-                        train, zs[j], s, k, fdims[j], packs[j], pooled,
-                        dpooled, f_max, interpret)
-            else:
-                at_top = j == depth - 2 and xla_top
-                dy_src = (pooled, dpooled) if at_top else dy_next
-                if j == 0:
-                    # Final step fused with the dz1/d_payload pass:
-                    # dy_0 never reaches HBM (see _bwd_step0_kernel).
-                    if planar:
-                        (sdy, sdyx, dws[j], dbs_, h_acc, mq, cnt,
-                         sdy_s, sz_s) = _call_bwd_step0_cp(
-                            train, at_top, zs[j], zs[j + 1], dy_src,
-                            new_xyz, xyz, qc_res, s, k, fdims[j],
-                            fdims[j + 1], packs[j], packs[j + 1],
-                            ws[j], radius, f_max, interpret)
-                    else:
-                        (sdy, sdyx, dws[j], dbs_, h_acc, mq, cnt,
-                         sdy_s, sz_s) = _call_bwd_step0(
-                            train, at_top, zs[j], zs[j + 1], dy_src,
-                            new_xyz, xyz, qc_res, s, k, fdims[j],
-                            fdims[j + 1], packs[j], packs[j + 1],
-                            ws[j], radius, interpret)
-                else:
-                    dy_next, sdy, sdyx, dws[j], dbs_ = step(
-                        train, at_top, zs[j], zs[j + 1], dy_src, s, k,
-                        fdims[j], fdims[j + 1], packs[j], packs[j + 1],
-                        ws[j], f_max, interpret)
-                dbs[j] = dbs_[0]
-            sdy, sdyx = sdy[0], sdyx[0]
-            dbetas[j] = sdy
-            dgammas[j] = sdyx
-            if train:
-                packs[j] = (packs[j].at[4].set(sdy / m)
-                            .at[5].set(sdyx / m))
-        # dz1/d_payload epilogue (see _bwd_step0_kernel's docstring).
-        a0, mu0, r0 = packs[0][0], packs[0][2], packs[0][3]
-        cntv = jnp.swapaxes(cnt, 1, 2)               # [B, N, 1]
-        if train:
-            mdy0, mdyx0 = packs[0][4], packs[0][5]
-            pf_f = _f32(_bf16(pf_res))               # kernel's bf16 view
-            xoh = r0 * (cntv * pf_f - mq - cntv * mu0)
-            dpf = a0 * (h_acc - cntv * mdy0) - (a0 * mdyx0) * xoh
-            sxhat = r0 * (sz_s - k * mu0)
-            dqc = -(a0 * (sdy_s - k * mdy0 - mdyx0 * sxhat))
-        else:
-            dpf = a0 * h_acc
-            dqc = -(a0 * sdy_s)
-        dpf = dpf.astype(pf_res.dtype)
-    else:
-        for j in range(depth - 1, -1, -1):
+    fdims = [p_.shape[-1] for p_ in packs]
+    step = _call_bwd_step_cp if planar else _call_bwd_step
+    # The top layer's BN-stat sums come from an XLA epilogue over
+    # the pool extrema (no kernel pass, no stored dy_{L-1}; the
+    # j = depth-2 step redoes the pool grad in-VMEM). Exact for
+    # sdy; sdyx recovers the argmax row's z from pool_aux — exact
+    # for rows (true z extrema), one f32 divide away for planar.
+    # Subgradient caveat (advisor, round 3): on bf16-rounding TIES
+    # (several rows' bf16 h equal to pooled) — and for a == 0
+    # channels, where zmin stands in regardless — this epilogue
+    # attributes the whole pool cotangent to the single z-extremum
+    # row, while the j = depth-2 in-kernel pool-grad redo
+    # tie-splits dy among all tied rows. Both are valid
+    # subgradients of max, so gradients can differ at tied rows
+    # (parity tests pass at 2% rel tol).
+    dy_next = None
+    h_acc = mq = cnt = sdy_s = sz_s = None
+    for j in range(depth - 1, -1, -1):
+        if j == depth - 1:
+            aL, cL = packs[j][0], packs[j][1]
+            muL, rL = packs[j][2], packs[j][3]
             if planar:
-                outs = _call_bwd_r_p(j, train, z1, s, k, f0,
-                                     _pack_planar(packs), ws,
-                                     _bs_planar(bs), pooled, dpooled,
-                                     ties, n, interpret)
+                (ymax,) = pool_aux
+                zsel = (ymax - cL) / jnp.where(aL == 0.0, 1.0, aL)
             else:
-                outs = _call_bwd_r(j, train, z1, s, k, f0, packs, ws,
-                                   bs, pooled, dpooled, ties, interpret)
-            sdy, sdyx = outs[0][0], outs[1][0]
-            dbetas[j] = sdy
-            dgammas[j] = sdyx
-            if j == depth - 1:
-                ties = outs[2]
-            else:
-                dws[j] = outs[2]
-                dbs[j] = outs[3][0]
-                if j == 0:
-                    dy0 = outs[4]
-            if train:
-                # Fill the statistic rows for the next (lower) passes.
-                packs[j] = (packs[j].at[4].set(sdy / m)
-                            .at[5].set(sdyx / m))
-        if planar:
-            dpf, dqc = _call_bwd_dz1_p(new_xyz, xyz, z1, dy0, s, k, f0,
-                                       jnp.swapaxes(packs[0], 0, 1),
-                                       radius, nsample, train,
-                                       pf_res.dtype, f_max, interpret)
+                zmax, zmin = pool_aux
+                zsel = jnp.where(aL > 0, zmax, zmin)
+            mask = _f32(pooled) > 0
+            dyp = jnp.where(mask, _f32(dpooled), 0.0)
+            sdy = jnp.sum(dyp, axis=(0, 1))[None]
+            sdyx = jnp.sum(dyp * ((zsel - muL) * rL),
+                           axis=(0, 1))[None]
         else:
-            dpf, dqc = _call_bwd_dz1(new_xyz, xyz, z1, dy0, s, k, f0,
-                                     packs[0], radius, nsample, train,
-                                     pf_res.dtype, interpret)
+            at_top = j == depth - 2
+            dy_src = (pooled, dpooled) if at_top else dy_next
+            if j == 0:
+                # Final step fused with the dz1/d_payload pass:
+                # dy_0 never reaches HBM (see _bwd_step0_kernel).
+                if planar:
+                    (sdy, sdyx, dws[j], dbs_, h_acc, mq, cnt,
+                     sdy_s, sz_s) = _call_bwd_step0_cp(
+                        train, at_top, zs[j], zs[j + 1], dy_src,
+                        new_xyz, xyz, qc_res, s, k, fdims[j],
+                        fdims[j + 1], packs[j], packs[j + 1],
+                        ws[j], radius, f_max, interpret)
+                else:
+                    (sdy, sdyx, dws[j], dbs_, h_acc, mq, cnt,
+                     sdy_s, sz_s) = _call_bwd_step0(
+                        train, at_top, zs[j], zs[j + 1], dy_src,
+                        new_xyz, xyz, qc_res, s, k, fdims[j],
+                        fdims[j + 1], packs[j], packs[j + 1],
+                        ws[j], radius, interpret)
+            else:
+                dy_next, sdy, sdyx, dws[j], dbs_ = step(
+                    train, at_top, zs[j], zs[j + 1], dy_src, s, k,
+                    fdims[j], fdims[j + 1], packs[j], packs[j + 1],
+                    ws[j], f_max, interpret)
+            dbs[j] = dbs_[0]
+        sdy, sdyx = sdy[0], sdyx[0]
+        dbetas[j] = sdy
+        dgammas[j] = sdyx
+        if train:
+            packs[j] = (packs[j].at[4].set(sdy / m)
+                        .at[5].set(sdyx / m))
+    # dz1/d_payload epilogue (see _bwd_step0_kernel's docstring).
+    a0, mu0, r0 = packs[0][0], packs[0][2], packs[0][3]
+    cntv = jnp.swapaxes(cnt, 1, 2)               # [B, N, 1]
+    if train:
+        mdy0, mdyx0 = packs[0][4], packs[0][5]
+        pf_f = _f32(_bf16(pf_res))               # kernel's bf16 view
+        xoh = r0 * (cntv * pf_f - mq - cntv * mu0)
+        dpf = a0 * (h_acc - cntv * mdy0) - (a0 * mdyx0) * xoh
+        sxhat = r0 * (sz_s - k * mu0)
+        dqc = -(a0 * (sdy_s - k * mdy0 - mdyx0 * sxhat))
+    else:
+        dpf = a0 * h_acc
+        dqc = -(a0 * sdy_s)
+    dpf = dpf.astype(pf_res.dtype)
     drunning = jax.tree_util.tree_map(jnp.zeros_like, running)
     return (jnp.zeros_like(new_xyz), jnp.zeros_like(xyz), dpf,
             dqc.astype(qc_res.dtype), tuple(dgammas), tuple(dbetas),

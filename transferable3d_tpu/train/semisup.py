@@ -72,16 +72,70 @@ def create_boxpc_state(model, cfg: bins_lib.BinConfig, tx,
         opt_state=tx.init(variables["params"]), rng=s_rng)
 
 
+def anisotropic_shape_aug(rng: jax.Array, points: jnp.ndarray,
+                          gt: boxpc_lib.BoxParams,
+                          log_range: float = 0.8, frac: float = 0.5
+                          ) -> Tuple[jnp.ndarray, boxpc_lib.BoxParams]:
+    """Jointly rescale cloud + GT box per-dim in the box frame.
+
+    Round-4 bookshelf forensics (transfer_diag_bookshelf.json +
+    artifacts/diag_transfer_s*_metrics.csv): the weak-class floor was
+    NOT trust-gate starvation — bookshelf's gate pass rate is 0.90-0.99
+    on every seed — but the frozen fit head carrying its worst fit loss
+    of all weak classes on every seed (1.14/1.30/2.07 vs weak means
+    ~0.5-1.0). Mechanism: phase A trains BoxPC only on STRONG-class
+    clouds (aspect <= ~1.8:1); bookshelf at (0.405, 1.071, 1.689) is
+    ~4:1, so the head scores its geometry by extrapolation. The
+    perturbation sampler's wide arm already covers thin BOXES around
+    strong clouds (negatives), but no thin CLOUD with a well-fitting box
+    (positives) ever appears. Scaling the cloud and the box together in
+    the box frame manufactures exactly those positives: the IoU-labeled
+    targets stay consistent by construction, and canonicalized coords
+    are invariant, so only the scale-context channels (tanh(rel),
+    log-size) carry the new information — the head learns "fit" is
+    shape-relative, not strong-class-silhouette-shaped.
+
+    `frac` of the batch is augmented with per-dim log-uniform scales in
+    +-`log_range` (e^0.8 ~ 2.2x per dim, enough to reach 4:1 aspect
+    from any strong class); the rest keeps the natural distribution.
+    """
+    b = gt.center.shape[0]
+    r1, r2 = jax.random.split(rng)
+    s = jnp.exp(jax.random.uniform(r1, (b, 3), minval=-log_range,
+                                   maxval=log_range))
+    on = (jax.random.uniform(r2, (b,)) < frac)[:, None]
+    s = jnp.where(on, s, 1.0)
+    xyz = points[..., :3]
+    rel = geometry.rotate_points_y(xyz - gt.center[:, None, :],
+                                   -gt.heading)
+    # box frame: x spans l = size[0], y spans h = size[2],
+    # z spans w = size[1] (see boxpc.canonicalize_points).
+    rel = rel * jnp.stack([s[:, 0], s[:, 2], s[:, 1]],
+                          axis=-1)[:, None, :]
+    xyz = geometry.rotate_points_y(rel, gt.heading) + gt.center[:, None, :]
+    points = jnp.concatenate([xyz, points[..., 3:]], axis=-1)
+    gt = boxpc_lib.BoxParams(center=gt.center, size=gt.size * s,
+                             heading=gt.heading)
+    return points, gt
+
+
 def make_boxpc_train_step(model, cfg: bins_lib.BinConfig, tx,
                           bn_schedule: Callable,
-                          fit_iou_thresh: float = 0.5):
+                          fit_iou_thresh: float = 0.5,
+                          aniso_aug: float = 0.8):
     """Fused BoxPC step: sample perturbations, label via in-graph IoU,
-    forward, loss, update."""
+    forward, loss, update. `aniso_aug` > 0 enables the joint
+    cloud+box anisotropic rescale (see anisotropic_shape_aug)."""
 
     def step_fn(state: train_loop.TrainState, batch: Dict):
         gt = gt_boxes_from_batch(batch, cfg)
         rng = jax.random.fold_in(state.rng, state.step)
-        sample_rng, dropout_rng = jax.random.split(rng)
+        sample_rng, dropout_rng, aug_rng = jax.random.split(rng, 3)
+        points = batch["points"]
+        if aniso_aug > 0:
+            points, gt = anisotropic_shape_aug(aug_rng, points, gt,
+                                               log_range=aniso_aug)
+            batch = dict(batch, points=points)
         perturbed = boxpc_lib.sample_perturbed_boxes(sample_rng, gt)
         targets = boxpc_lib.boxpc_targets(perturbed, gt, fit_iou_thresh)
         bn_momentum = bn_schedule(state.step)

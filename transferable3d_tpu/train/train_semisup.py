@@ -44,6 +44,10 @@ class SemisupConfig(config_lib.TrainConfig):
     strong_classes: Tuple[str, ...] = DEFAULT_STRONG
     weak_classes: Tuple[str, ...] = DEFAULT_WEAK
     boxpc_epochs: int = 20
+    # Joint cloud+box anisotropic rescale in BoxPC phase A (log-scale
+    # range; 0 disables). Default ON: fixes the bookshelf fit-head
+    # extrapolation floor (see semisup.anisotropic_shape_aug).
+    boxpc_aniso_aug: float = 0.8
     weak_weight: float = 1.0
     # Linear warmup of the weak losses (steps); 0 disables. See
     # semisup.make_semisup_train_step.
@@ -120,7 +124,8 @@ def pretrain_boxpc(cfg: SemisupConfig, strong_ds: FrustumDataset,
         logger.log_string(
             f"boxpc: resumed from step {int(restored.step)}")
         state = restored
-    step = semisup.make_boxpc_train_step(model, bins_cfg, tx, bn_sched)
+    step = semisup.make_boxpc_train_step(model, bins_cfg, tx, bn_sched,
+                                         aniso_aug=cfg.boxpc_aniso_aug)
 
     steps_done = int(state.step)
     target_steps = cfg.boxpc_epochs * max(
