@@ -30,8 +30,28 @@ from transferable3d_tpu.ops import fused_sa as fsa
 from transferable3d_tpu.ops.fused_sa import (
     _acc_spec_p, _bf16, _bf16_round, _f32, _geo_specs, _onehot_all,
     _planar_spec, _planar_struct, _rank_rows, _rep_cols, _s_chunk_cp,
-    _s_chunk_p, _seg_max_lanes, _sel_matrix, _vspec, _zero_at_first)
+    _s_chunk_p, _vspec, _zero_at_first)
 from transferable3d_tpu.utils.profiling import device_ms
+
+
+def _seg_max_lanes(x_cols, k):
+    """RETIRED round-5 production form (kept here so the losing
+    variant stays measurable): log2 K roll+max steps; lane s*K of
+    each group holds the group max."""
+    rows = x_cols.shape[1]
+    shift = k // 2
+    while shift >= 1:
+        x_cols = jnp.maximum(x_cols, pltpu.roll(x_cols, rows - shift, 1))
+        shift //= 2
+    return x_cols
+
+
+def _sel_matrix(s_ch, k, dtype=jnp.bfloat16):
+    """RETIRED with _seg_max_lanes: [S_ch, S_ch*K] one-hot selecting
+    lane s*K of each group."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s_ch, s_ch * k), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (s_ch, s_ch * k), 0)
+    return jnp.where(lane == row * k, 1.0, 0.0).astype(dtype)
 
 B, N, S = 128, 1024, 128
 # seg-SA1 planar scales: (name, K, (m0, m1, m2))
@@ -170,6 +190,135 @@ def call_pool(mode, z_last, s, k, f, pack, f_max):
     )(z_last, packp)
 
 
+# --- bwd_step0 variants ------------------------------------------------------
+#
+# Production (b0/full) vs stripped forms, all with identical in/out
+# specs (missing sections write zeros) so no variant degenerates into
+# the stats-only-consumer shape the relay compiler can hang on:
+#   b0/dz     — only the dz/dw/db chain section (no one-hot at all);
+#               the one-hot budget s-chunk is kept, so this is the
+#               true in-kernel baseline (bwd/step uses a larger chunk)
+#   b0/noacch — drop the oh·dy scatter dot
+#   b0/nomm   — drop the multiplicity dots (mm, mq, cnt)
+#   b0/noseg  — drop the per-centroid segment dots (sdy_s, sz_s)
+#   b0/accht  — scatter dot in MXU-natural orientation:
+#               dy[F0,rows]·oh[rows,N] -> acc [F0, N] (full lanes)
+#               instead of oh·dy -> [N, F0] (F0 < 128 lanes wasted)
+
+
+def _b0_kernel(mode, r2, k, f_j, f_j1, *refs):
+    (ins, (ct, pt, qc_t), (pack_j, pack_j1, w_j),
+     (sdy, sdyx, dw, db, h_out, mq_out, cnt_out, sdy_s, sz_s),
+     (acc_h, acc_mq, acc_cnt)) = fsa._split(refs, 3, 3, 3, 9, 3)
+    z_j = ins[0]
+    _zero_at_first(sdy, sdyx, dw, db)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_h[:] = jnp.zeros_like(acc_h)
+        acc_mq[:] = jnp.zeros_like(acc_mq)
+        acc_cnt[:] = jnp.zeros_like(acc_cnt)
+
+    s_ch = ct.shape[1]
+    dz1_ = fsa._step_dz_cols(True, False, k, ins, pack_j1)
+    a, c, mu, r = (pack_j[:, 0:1], pack_j[:, 1:2], pack_j[:, 2:3],
+                   pack_j[:, 3:4])
+    h_j = jnp.maximum(_bf16(_f32(z_j[0]) * a + c), jnp.bfloat16(0))
+    dh = _bf16(jax.lax.dot_general(
+        _bf16(w_j[:]), dz1_, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    dy_j = jnp.where(_f32(h_j) > 0, dh, jnp.bfloat16(0))
+    xhat_j = (_f32(z_j[0]) - mu) * r
+    dyf = _f32(dy_j)
+    sdy[:] += jnp.sum(dyf, axis=1, keepdims=True)
+    sdyx[:] += jnp.sum(dyf * xhat_j, axis=1, keepdims=True)
+    dw[:] += jax.lax.dot_general(
+        h_j, dz1_, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db[:] += jnp.sum(_f32(dz1_), axis=1, keepdims=True)
+
+    if mode != "dz":
+        rank_m = _rank_rows(r2, ct[0], pt[0])
+        oh = _onehot_all(rank_m, k)                    # [S_ch*K, N]
+        if mode != "noacch":
+            if mode == "accht":
+                acc_h[:] += jax.lax.dot_general(
+                    dy_j, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [F0, N]
+            else:
+                acc_h[:] += jax.lax.dot_general(
+                    oh, dy_j, dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [N, F0]
+        if mode != "nomm":
+            mm = fsa._mult_tile(oh, s_ch, k)           # [S_ch, N]
+            acc_cnt[:] += jnp.sum(mm, axis=0, keepdims=True)
+            acc_mq[:] += jax.lax.dot_general(
+                _bf16(mm), qc_t[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [N, F0]
+    if mode != "noseg":
+        rep = fsa._rep_matrix(s_ch, k)
+        sdy_s[0] = jax.lax.dot_general(
+            rep, dy_j, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [S_ch, F0]
+        sz_s[0] = jax.lax.dot_general(
+            rep, z_j[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        sdy_s[0] = jnp.zeros_like(sdy_s[0])
+        sz_s[0] = jnp.zeros_like(sz_s[0])
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        h_out[0] = acc_h[:]
+        mq_out[0] = acc_mq[:]
+        cnt_out[0] = acc_cnt[:]
+
+
+def call_b0(mode, z0, z1, dy1, cent, xyz, qc, pack0, pack1, w0,
+            radius, s, k, f0, f1, f_max):
+    b = z0.shape[0]
+    n = xyz.shape[1]
+    s_ch = _s_chunk_p(s, k, f_max, n)
+    grid = (b, s // s_ch)
+    pt = jnp.swapaxes(xyz, 1, 2)
+    const = lambda a_: _vspec(a_.shape,
+                              lambda b__, i: tuple(0 for _ in a_.shape))
+    sspec = _vspec((1, s_ch, f0), lambda b__, i: (b__, i, 0))
+    out_specs, out_shapes = [], []
+    for shape in [(f0, 1), (f0, 1), w0.shape, (f1, 1)]:
+        sp, sh = _acc_spec_p(shape)
+        out_specs.append(sp)
+        out_shapes.append(sh)
+    acc_shape = (f0, n) if mode == "accht" else (n, f0)
+    perb = lambda shp: (_vspec((1,) + shp, lambda b__, i: (b__,)
+                               + tuple(0 for _ in shp)),
+                        jax.ShapeDtypeStruct((b,) + shp, jnp.float32))
+    for shp in [acc_shape, acc_shape, (1, n)]:
+        sp, sh = perb(shp)
+        out_specs.append(sp)
+        out_shapes.append(sh)
+    out_specs += [sspec, sspec]
+    out_shapes += [jax.ShapeDtypeStruct((b, s, f0), jnp.float32)] * 2
+    packjp = jnp.swapaxes(pack0, 0, 1)
+    packj1p = jnp.swapaxes(pack1, 0, 1)
+    return pl.pallas_call(
+        partial(_b0_kernel, mode, radius * radius, k, f0, f1),
+        grid=grid,
+        in_specs=[_planar_spec(s_ch, k, f0), _planar_spec(s_ch, k, f1),
+                  _planar_spec(s_ch, k, f1)]
+        + _geo_specs(s_ch, n)
+        + [_vspec((1, s_ch, f0), lambda b__, i: (b__, i, 0))]
+        + [const(packjp), const(packj1p), const(w0)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM(acc_shape, jnp.float32),
+                        pltpu.VMEM(acc_shape, jnp.float32),
+                        pltpu.VMEM((1, n), jnp.float32)],
+    )(z0, z1, dy1, cent, pt, _bf16(qc), packjp, packj1p, w0)
+
+
 # --- harness ----------------------------------------------------------------
 
 
@@ -219,7 +368,7 @@ def run_one(sc, name):
         fn = lambda z_, pk: call_pool(mode, z_, S, k, f2, pk, f_max)
         return time_fn(f"{sc}:{name}", fn, z2, pack2)
 
-    # bwd group
+    # bwd / b0 groups
     z0 = _bf16(jnp.asarray(
         rng.uniform(-1, 1, (B, f0, S * k)).astype(np.float32)))
     z1 = _bf16(jnp.asarray(
@@ -231,6 +380,12 @@ def run_one(sc, name):
          jnp.zeros(f), jnp.zeros(f)], axis=0).astype(jnp.float32)
     w0 = _bf16(jnp.asarray(
         rng.normal(0, 0.1, (f0, f1)).astype(np.float32)))
+    if group == "b0":
+        fn = lambda a0, a1, d_, ce, xy, q_, p0, p1, w_: call_b0(
+            mode, a0, a1, d_, ce, xy, q_, p0, p1, w_, radius, S, k,
+            f0, f1, f_max)
+        return time_fn(f"{sc}:{name}", fn, z0, z1, dy1, cent, xyz, qc,
+                       pack(f0), pack(f1), w0)
     if mode == "step":
         fn = lambda a0, a1, d_, p0, p1, w_: fsa._call_bwd_step_cp(
             True, False, a0, a1, d_, S, k, f0, f1, p0, p1, w_,
@@ -247,7 +402,8 @@ def run_one(sc, name):
 
 ALL = ["bwd/step0", "bwd/step", "extract/full", "extract/full_t",
        "pool/full", "pool/slices", "pool/norolls", "extract/oh",
-       "extract/rank", "extract/base"]
+       "extract/rank", "extract/base",
+       "b0/dz", "b0/noacch", "b0/nomm", "b0/noseg", "b0/accht"]
 
 
 def main():

@@ -477,11 +477,8 @@ def _infer_kernel_p(r2, k, f0, depth, ct, pt, payt, qc, *refs):
     # elision-proof in-kernel rounding: see _infer_kernel.
     z1 = _bf16_round(g - _rep_cols(qc, s_ch, k))
     _, hs = _chain_all_p(z1, packs, ws, bs)
-    hmax = _seg_max_lanes(_f32(hs[-1]), k)
-    pooled[0] = jax.lax.dot_general(
-        _sel_matrix(s_ch, k), hmax,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(pooled.dtype)
+    pooled[0] = _pool_groups_t(_f32(hs[-1]), s_ch, k).astype(
+        pooled.dtype)
 
 
 def _call_infer(cent, xyz, pf, qc, radius, nsample, packs, ws, bs,
@@ -784,32 +781,26 @@ def _fwd_step_kernel_cp(k, f_in, f_out, z_prev, pack, w, b, z_next,
 
 
 def _fwd_pool_ymax_kernel_cp(k, f, z_last, pack, pooled, ymax):
-    """Pool variant for the fused planar top: one segment max over the
-    PRE-relu, PRE-rounding y = f32(z)*a + c yields both
+    """Pool variant for the fused planar top: a per-group static-slice
+    max over the PRE-relu, PRE-rounding y = f32(z)*a + c yields both
       pooled = relu(bf16(max y))   — EXACT (monotone rounding: equals
                                      max over relu(bf16(y)); the bwd
                                      kernels' h == pooled tests rely
                                      on bit-exactness), and
-      ymax   = max y (unrounded)   — near-exact, for the XLA top-stat
-                                     epilogue's z recovery (ymax-c)/a.
-    The selection dot's operands round to bf16 on the MXU, so ym
-    crosses it as an exact hi + lo pair (reduce_precision split, see
-    core/numerics.exact_hi_lo): pooled comes from the hi part alone
-    (= bf16(ym), exactly representable), ymax from hi + lo."""
+      ymax   = max y (exact f32)   — for the XLA top-stat epilogue's
+                                     z recovery (ymax - c)/a.
+    Static slice maxes replaced the round-3 log2(K) lane-roll segment
+    max + hi/lo selection dots in round 5: 0.575 vs 1.683 ms at
+    seg-SA1 scale b on-chip (artifacts/r5_ablate_run*.log — the rolls
+    were the cost), and the slice form is exact f32, so no hi/lo
+    split is needed at all (pooled = bf16(ym) is the old hi part
+    bit-for-bit; ymax drops the old lo-term rounding)."""
     s_ch = ymax.shape[1]
     a, c = pack[:, 0:1], pack[:, 1:2]
     y = _f32(z_last[0]) * a + c
-    ym = _seg_max_lanes(y, k)
-    hi = _bf16_round(ym)
-    lo = _bf16_round(ym - hi)
-    sel = _sel_matrix(s_ch, k)
-    dims = (((1,), (1,)), ((), ()))
-    phi = jax.lax.dot_general(sel, hi, dimension_numbers=dims,
-                              preferred_element_type=jnp.float32)
-    plo = jax.lax.dot_general(sel, lo, dimension_numbers=dims,
-                              preferred_element_type=jnp.float32)
-    pooled[0] = jnp.maximum(phi.astype(jnp.bfloat16), jnp.bfloat16(0))
-    ymax[0] = phi + plo
+    ym_t = _pool_groups_t(y, s_ch, k)                  # [S_ch, F] f32
+    pooled[0] = jnp.maximum(_bf16(ym_t), jnp.bfloat16(0))
+    ymax[0] = ym_t
 
 
 def _top_dy_cols(h, pooled, dpooled, k, s_ch):
@@ -1134,24 +1125,14 @@ def _chain_all_p(z1_cols, packs, ws, bs):
     return zs, hs
 
 
-def _seg_max_lanes(x_cols, k):
-    """Segment max over lane groups of K (power of two): after log2 K
-    roll+max steps, lane s*K of each group holds the group max (upper
-    lanes are contaminated by the wrap — only lane s*K is read)."""
-    rows = x_cols.shape[1]
-    shift = k // 2
-    while shift >= 1:
-        # pltpu.roll takes non-negative shifts; rows - s == -s (mod rows).
-        x_cols = jnp.maximum(x_cols, pltpu.roll(x_cols, rows - shift, 1))
-        shift //= 2
-    return x_cols
-
-
-def _sel_matrix(s_ch, k, dtype=jnp.bfloat16):
-    """[S_ch, S_ch*K] one-hot selecting lane s*K of each group."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (s_ch, s_ch * k), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (s_ch, s_ch * k), 0)
-    return jnp.where(lane == row * k, 1.0, 0.0).astype(dtype)
+def _pool_groups_t(y, s_ch, k):
+    """Segmented lane max [F, S_ch*K] -> [S_ch, F] via one static
+    jnp.max per K-group, a lane concat and a transpose. Measured 3x
+    cheaper than the retired roll+selection-dot form (0.575 vs
+    1.683 ms, seg-SA1 scale b) and exact in f32."""
+    parts = [jnp.max(y[:, g * k:(g + 1) * k], axis=1, keepdims=True)
+             for g in range(s_ch)]
+    return jnp.swapaxes(jnp.concatenate(parts, axis=1), 0, 1)
 
 
 def _extract_kernel_p(r2, k, f0, ct, pt, payt, qc, z1, sums, sumsq):
