@@ -29,9 +29,19 @@ from jax.experimental.pallas import tpu as pltpu
 from transferable3d_tpu.ops import fused_sa as fsa
 from transferable3d_tpu.ops.fused_sa import (
     _acc_spec_p, _bf16, _bf16_round, _f32, _geo_specs, _onehot_all,
-    _planar_spec, _planar_struct, _rank_rows, _rep_cols, _s_chunk_cp,
+    _planar_spec, _planar_struct, _rank_rows, _s_chunk_cp,
     _s_chunk_p, _vspec, _zero_at_first)
 from transferable3d_tpu.utils.profiling import device_ms
+
+
+def _rep_cols(ref, s_ch, k):
+    """RETIRED round-5 production form (production now uses per-group
+    static-slice [F, 1] lane broadcasts): [1, S_ch, F] block ref ->
+    f32 [F, S_ch*K] via a replication dot."""
+    return jax.lax.dot_general(
+        _bf16(ref[0]), fsa._rep_matrix(ref.shape[1], k),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _seg_max_lanes(x_cols, k):
@@ -52,6 +62,16 @@ def _sel_matrix(s_ch, k, dtype=jnp.bfloat16):
     lane = jax.lax.broadcasted_iota(jnp.int32, (s_ch, s_ch * k), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (s_ch, s_ch * k), 0)
     return jnp.where(lane == row * k, 1.0, 0.0).astype(dtype)
+
+
+def _mult_tile(oh, s_ch, k):
+    """RETIRED round-5 production form (production bwd_step0 now uses
+    _mult_from_rank, elementwise): multiplicity via a rep-matrix
+    segment-sum dot over the one-hot."""
+    return jax.lax.dot_general(
+        fsa._rep_matrix(s_ch, k), oh,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 B, N, S = 128, 1024, 128
 # seg-SA1 planar scales: (name, K, (m0, m1, m2))
@@ -251,7 +271,7 @@ def _b0_kernel(mode, r2, k, f_j, f_j1, *refs):
                     oh, dy_j, dimension_numbers=(((0,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [N, F0]
         if mode != "nomm":
-            mm = fsa._mult_tile(oh, s_ch, k)           # [S_ch, N]
+            mm = _mult_tile(oh, s_ch, k)           # [S_ch, N]
             acc_cnt[:] += jnp.sum(mm, axis=0, keepdims=True)
             acc_mq[:] += jax.lax.dot_general(
                 _bf16(mm), qc_t[0],
@@ -291,11 +311,13 @@ def call_b0(mode, z0, z1, dy1, cent, xyz, qc, pack0, pack1, w0,
         sp, sh = _acc_spec_p(shape)
         out_specs.append(sp)
         out_shapes.append(sh)
-    acc_shape = (f0, n) if mode == "accht" else (n, f0)
+    # Only acc_h transposes in accht mode; acc_mq's dot always emits
+    # [N, F0] (the first accht run died on this mismatch).
+    acch_shape = (f0, n) if mode == "accht" else (n, f0)
     perb = lambda shp: (_vspec((1,) + shp, lambda b__, i: (b__,)
                                + tuple(0 for _ in shp)),
                         jax.ShapeDtypeStruct((b,) + shp, jnp.float32))
-    for shp in [acc_shape, acc_shape, (1, n)]:
+    for shp in [acch_shape, (n, f0), (1, n)]:
         sp, sh = perb(shp)
         out_specs.append(sp)
         out_shapes.append(sh)
@@ -313,8 +335,8 @@ def call_b0(mode, z0, z1, dy1, cent, xyz, qc, pack0, pack1, w0,
         + [const(packjp), const(packj1p), const(w0)],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM(acc_shape, jnp.float32),
-                        pltpu.VMEM(acc_shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM(acch_shape, jnp.float32),
+                        pltpu.VMEM((n, f0), jnp.float32),
                         pltpu.VMEM((1, n), jnp.float32)],
     )(z0, z1, dy1, cent, pt, _bf16(qc), packjp, packj1p, w0)
 

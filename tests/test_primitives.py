@@ -144,3 +144,58 @@ def test_flatten_lane_safe_pad_breaks_divisibility():
     assert padded >= total
     for d in narrow:
         assert padded % d != 0, (padded, d)
+
+
+# ---------------------------------------------------------------------------
+# ops/fused_sa._mult_from_rank
+# ---------------------------------------------------------------------------
+
+
+def _mult_reference(rank_m, k):
+    """Ground truth: sum the _onehot_all slot selection over slots."""
+    from transferable3d_tpu.ops.fused_sa import _onehot_all
+
+    def kernel(r_ref, o_ref):
+        s_ch, n = r_ref.shape
+        oh = _onehot_all(r_ref[...], k)                # [S_ch*K, N]
+        o_ref[...] = jnp.sum(
+            oh.reshape(s_ch, k, n).astype(jnp.float32), axis=1)
+
+    return pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct(rank_m.shape, jnp.float32),
+        interpret=True)(rank_m)
+
+
+def _mult_host(rank_m, k):
+    from transferable3d_tpu.ops.fused_sa import _mult_from_rank
+
+    def kernel(r_ref, o_ref):
+        o_ref[...] = _mult_from_rank(r_ref[...], k)
+
+    return pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct(rank_m.shape, jnp.float32),
+        interpret=True)(rank_m)
+
+
+@pytest.mark.parametrize("k", [16, 32, 64, 128])
+@pytest.mark.parametrize("density", [0.02, 0.3, 0.9])
+def test_mult_from_rank_matches_onehot_sum(k, density):
+    """Elementwise multiplicities must equal the one-hot column sums
+    bit-for-bit (integer counts <= K), including: empty balls (the
+    nearest-point patch gives rank 1 -> mult K), count < K
+    (duplication), count > K (ranks beyond the slot budget -> 0)."""
+    rng = np.random.RandomState(int(k + 1000 * density))
+    s_ch, n = 8, 256
+    mask = (rng.uniform(size=(s_ch, n)) < density).astype(np.float32)
+    rank = np.cumsum(mask, axis=1) * mask             # 1-based ranks, 0 out
+    # emulate the empty-ball patch: rows with no in-radius points get a
+    # single rank-1 entry at a random lane
+    for r in range(s_ch):
+        if mask[r].sum() == 0:
+            rank[r, rng.randint(n)] = 1.0
+    rank = jnp.asarray(rank.astype(np.float32))
+    got = np.asarray(_mult_host(rank, k))
+    want = np.asarray(_mult_reference(rank, k))
+    np.testing.assert_array_equal(got, want)
+    # sanity on the contract itself: each centroid's slots sum to K
+    np.testing.assert_array_equal(got.sum(axis=1), np.full(s_ch, float(k)))

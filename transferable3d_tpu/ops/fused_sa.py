@@ -474,8 +474,12 @@ def _infer_kernel_p(r2, k, f0, depth, ct, pt, payt, qc, *refs):
     g = jax.lax.dot_general(
         payt[0], oh, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # [F0, rows]
-    # elision-proof in-kernel rounding: see _infer_kernel.
-    z1 = _bf16_round(g - _rep_cols(qc, s_ch, k))
+    # elision-proof in-kernel rounding: see _infer_kernel. Per-group
+    # [F0, 1] lane broadcast replaces the qc replication dot.
+    qc_t = jnp.swapaxes(_f32(qc[0]), 0, 1)             # [F0, S_ch]
+    z1 = _bf16_round(jnp.concatenate(
+        [g[:, gg * k:(gg + 1) * k] - qc_t[:, gg:gg + 1]
+         for gg in range(s_ch)], axis=1))
     _, hs = _chain_all_p(z1, packs, ws, bs)
     pooled[0] = _pool_groups_t(_f32(hs[-1]), s_ch, k).astype(
         pooled.dtype)
@@ -517,14 +521,25 @@ def _call_infer(cent, xyz, pf, qc, radius, nsample, packs, ws, bs,
     )(cent, pt, pay, _bf16(qc), *p_args)
 
 
-def _mult_tile(oh, s_ch, k):
-    """Slot multiplicity M [S_ch, N] f32: how many of the K cyclic
-    slots of centroid s select point n (= onehot summed over slots,
-    via a segment-sum dot; counts <= K are exact)."""
-    return jax.lax.dot_general(
-        _rep_matrix(s_ch, k), oh,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+def _mult_from_rank(rank_m, k):
+    """Slot multiplicity M [S_ch, N] f32 directly from in-radius
+    ranks: of the K cyclic slots (want = slot mod eff + 1, see
+    _onehot_all) exactly floor((K - rank)/eff) + 1 have want == rank,
+    so a point with rank in [1, eff] fills that many slots and
+    out-of-radius / rank > eff points fill none. Counts are integers
+    <= K (exact in f32), matching the retired rep-matrix segment-sum
+    dot over the one-hot bit-for-bit; the +0.25 numerator bias absorbs
+    Mosaic's reciprocal-division rounding (ops/grouping._want_tile).
+    Round-5 ablation: the rep.oh dot was ~0.5-1 ms/scale at seg-SA1
+    (artifacts/r5_measure2.log b0/nomm vs full); this form is
+    elementwise."""
+    eff = jnp.clip(jnp.max(rank_m, axis=1, keepdims=True), 1.0,
+                   float(k))
+    # max(., 0) also zeroes rank > eff (floor goes to -1, -2, ... for
+    # in-radius points beyond the slot budget when count > K).
+    mult = jnp.maximum(
+        jnp.floor((float(k) - rank_m + 0.25) / eff) + 1.0, 0.0)
+    return jnp.where(rank_m >= 0.5, mult, 0.0)
 
 
 def _bwd_step0_kernel(train, top, r2, k, f_j, f_j1, *refs):
@@ -583,7 +598,7 @@ def _bwd_step0_kernel(train, top, r2, k, f_j, f_j1, *refs):
     acc_h[:] += jax.lax.dot_general(
         oh, dy_j, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [N, F0]
-    mm = _mult_tile(oh, s_ch, k)                       # [S_ch, N]
+    mm = _mult_from_rank(rank_m, k)                    # [S_ch, N]
     acc_cnt[:] += jnp.sum(mm, axis=0, keepdims=True)
     acc_mq[:] += jax.lax.dot_general(
         _bf16(mm), qc_t[0], dimension_numbers=(((0,), (0,)), ((), ())),
@@ -804,16 +819,25 @@ def _fwd_pool_ymax_kernel_cp(k, f, z_last, pack, pooled, ymax):
 
 
 def _top_dy_cols(h, pooled, dpooled, k, s_ch):
-    """Planar twin of _top_dy_rows (ties via the segment-sum dot)."""
-    pooled_rep = _rep_cols(pooled, s_ch, k)
-    eq = jnp.where(_f32(h) == pooled_rep, 1.0, 0.0)
-    ties_tile = jax.lax.dot_general(
-        _rep_matrix(s_ch, k), eq.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [S_ch, F]
-    dh = _bf16(_rep_cols(dpooled, s_ch, k) * eq
-               / jnp.maximum(_rep_cols_arr(ties_tile, k), 1.0))
-    return jnp.where(_f32(h) > 0, dh, jnp.bfloat16(0))
+    """Planar twin of _top_dy_rows: per-group static K-slices with
+    [F, 1] lane broadcasts — ties counted by a slice sum instead of
+    the retired rep-matrix segment dot, and the pooled/dpooled
+    replication dots become free lane broadcasts (the same
+    slices-beat-dots result as _pool_groups_t). Values are identical:
+    eq/ties are exact integers and the f32 mul/div operands match the
+    dot form elementwise."""
+    pooled_t = jnp.swapaxes(_f32(pooled[0]), 0, 1)     # [F, S_ch]
+    dpooled_t = jnp.swapaxes(_f32(dpooled[0]), 0, 1)   # [F, S_ch]
+    hf = _f32(h)
+    parts = []
+    for g in range(s_ch):
+        h_g = hf[:, g * k:(g + 1) * k]
+        eq_g = jnp.where(h_g == pooled_t[:, g:g + 1], 1.0, 0.0)
+        ties_g = jnp.sum(eq_g, axis=1, keepdims=True)
+        parts.append(dpooled_t[:, g:g + 1] * eq_g
+                     / jnp.maximum(ties_g, 1.0))
+    dh = _bf16(jnp.concatenate(parts, axis=1))
+    return jnp.where(hf > 0, dh, jnp.bfloat16(0))
 
 
 def _step_dz_cols(train, top, k, ins, pack_j1):
@@ -896,14 +920,19 @@ def _bwd_step0_kernel_cp(train, top, r2, k, f_j, f_j1, *refs):
 
     rank_m = _rank_rows(r2, ct[0], pt[0])
     oh = _onehot_all(rank_m, k)                        # [S_ch*K, N]
+    # Scatter + multiplicity accumulators in [F0, N] orientation: the
+    # planar dy_j already has F0 on sublanes, so dy.oh needs no
+    # operand relayout and the output keeps all 128 lanes live
+    # (N = 1024) instead of F0 <= 64; the caller transposes once in
+    # XLA. Round-5 ablation: see artifacts/r5_measure*.log b0/accht.
     acc_h[:] += jax.lax.dot_general(
-        oh, dy_j, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [N, F0]
-    mm = _mult_tile(oh, s_ch, k)                       # [S_ch, N]
+        dy_j, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [F0, N]
+    mm = _mult_from_rank(rank_m, k)                    # [S_ch, N]
     acc_cnt[:] += jnp.sum(mm, axis=0, keepdims=True)
     acc_mq[:] += jax.lax.dot_general(
-        _bf16(mm), qc_t[0], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [N, F0]
+        qc_t[0], _bf16(mm), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [F0, N]
     rep = _rep_matrix(s_ch, k)
     sdy_s[0] = jax.lax.dot_general(
         rep, dy_j, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1036,7 +1065,10 @@ def _call_bwd_step0_cp(train, top, z_j, z_j1, dy_src, cent, xyz, qc, s,
     perb = lambda shp: (_vspec((1,) + shp, lambda b__, i: (b__,)
                                + tuple(0 for _ in shp)),
                         jax.ShapeDtypeStruct((b,) + shp, jnp.float32))
-    for shp in [(n, f_j), (n, f_j), (1, n)]:
+    # h/mq accumulate [F0, N] in-kernel (full MXU lanes, no operand
+    # relayout); the rows-convention [B, N, F0] the epilogue expects
+    # is restored by one XLA transpose below.
+    for shp in [(f_j, n), (f_j, n), (1, n)]:
         sp, sh = perb(shp)
         out_specs.append(sp)
         out_shapes.append(sh)
@@ -1055,14 +1087,15 @@ def _call_bwd_step0_cp(train, top, z_j, z_j1, dy_src, cent, xyz, qc, s,
         + [const(packjp), const(packj1p), const(w_j)],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((n, f_j), jnp.float32),
-                        pltpu.VMEM((n, f_j), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((f_j, n), jnp.float32),
+                        pltpu.VMEM((f_j, n), jnp.float32),
                         pltpu.VMEM((1, n), jnp.float32)],
         interpret=interpret,
     )(z_j, z_j1, *extra_ins, cent, pt, _bf16(qc), packjp,
       packj1p, w_j)
     return (sdy[None, :, 0], sdyx[None, :, 0], dw, db[None, :, 0],
-            h_acc, mq, cnt, sdy_s, sz_s)
+            jnp.swapaxes(h_acc, 1, 2), jnp.swapaxes(mq, 1, 2), cnt,
+            sdy_s, sz_s)
 
 
 # ---------------------------------------------------------------------------
@@ -1089,21 +1122,6 @@ def _rep_matrix(s_ch, k, dtype=jnp.bfloat16):
         jnp.int32, (s_ch, s_ch * k), 1) // k
     row = jax.lax.broadcasted_iota(jnp.int32, (s_ch, s_ch * k), 0)
     return jnp.where(lane_group == row, 1.0, 0.0).astype(dtype)
-
-
-def _rep_cols_arr(arr, k):
-    """[S_ch, F] -> f32 [F, S_ch*K] with each centroid's row broadcast
-    across its K lanes, via a replication dot (lane-repeat only
-    legalizes for factor 128). Exact for bf16-representable values."""
-    return jax.lax.dot_general(
-        _bf16(arr), _rep_matrix(arr.shape[0], k),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [F, S_ch*K]
-
-
-def _rep_cols(ref, s_ch, k):
-    """Row-major [1, S_ch, F] block ref form of _rep_cols_arr."""
-    return _rep_cols_arr(ref[0], k)
 
 
 def _chain_all_p(z1_cols, packs, ws, bs):
@@ -1143,8 +1161,11 @@ def _extract_kernel_p(r2, k, f0, ct, pt, payt, qc, z1, sums, sumsq):
     g = jax.lax.dot_general(
         payt[0], oh, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # [F0, rows]
-    qc_rep = _rep_cols(qc, s_ch, k)                    # [F0, rows] f32
-    z = _bf16(g) - _bf16(qc_rep)
+    # per-group [F0, 1] lane broadcast replaces the qc replication dot
+    qc_t = jnp.swapaxes(qc[0], 0, 1)                   # [F0, S_ch] bf16
+    z = jnp.concatenate(
+        [_bf16(g[:, gg * k:(gg + 1) * k]) - qc_t[:, gg:gg + 1]
+         for gg in range(s_ch)], axis=1)
     z1[0] = z
     zf = _f32(z)
     sums[:] += jnp.sum(zf, axis=1, keepdims=True)
