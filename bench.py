@@ -39,27 +39,33 @@ INNER_STEPS = 20   # lax.scan inside one jit: removes host-dispatch jitter
 OUTER_CALLS = 4    # jitter from the TPU relay (observed ~30% run noise)
 
 # The axon relay's observed outage modes are (a) `jax.devices()` raising
-# UNAVAILABLE and (b) hanging indefinitely at backend init (2026-08-17
-# outage: probes hang until killed). Bound the init so the driver's
-# BENCH_rN.json records a structured outage line instead of `parsed:null`
-# (round-3 verdict item 7).
+# UNAVAILABLE, (b) hanging indefinitely at backend init (2026-08-17
+# outage: probes hang until killed), and (c) device enumeration
+# SUCCEEDING while every compile hangs (2026-08-21 outage). Bound an
+# init + tiny compile so the driver's BENCH_rN.json records a
+# structured outage line instead of `parsed:null` in all three modes
+# (round-3 verdict item 7). The probe budget must cover a legitimate
+# cold relay compile (observed 4 s–10 min for small programs).
 BACKEND_PROBE_TIMEOUT_S = float(
-    os.environ.get("T3D_BENCH_PROBE_TIMEOUT", "240"))
+    os.environ.get("T3D_BENCH_PROBE_TIMEOUT", "600"))
 
 
 def probe_backend(timeout_s: float = BACKEND_PROBE_TIMEOUT_S,
                   _init_fn=None) -> str | None:
-    """Initialize the jax backend with a bounded wait.
+    """Initialize the jax backend and run one tiny compile, bounded.
 
     Returns None when healthy, else an error string. `_init_fn` is a
-    test seam: the production init is `jax.devices()` in a daemon
-    thread (the only way to bound a native-code hang without killing
-    the process)."""
+    test seam: the production init is `jax.devices()` plus a 128x128
+    matmul round-trip in a daemon thread (the only way to bound a
+    native-code hang without killing the process)."""
     import threading
 
     def _default_init():
         import jax
+        import jax.numpy as jnp
         jax.devices()
+        x = jnp.ones((128, 128))
+        jax.block_until_ready(x @ x)
 
     result: dict = {}
 
