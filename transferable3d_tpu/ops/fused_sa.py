@@ -65,14 +65,17 @@ _EXTRACT_MB = os.environ.get("T3D_SA_EXTRACT_MB", "")
 
 def _extract_mb(n):
     """One-hot VMEM budget (MB) for extraction-style passes. Round-4
-    tile sweep: 16 MB cut seg-SA1 (N=1024) 40.6->36.4 ms/call by
-    halving the grid-step count, while box-SA1 (N=512) regressed
-    slightly at 16 (8.18->8.60 ms) — the fixed per-step overhead only
-    dominates at wide one-hot builds. 32 MB exceeds the 16 MB scoped
-    VMEM limit at the K=128 scale. Env override for sweeps."""
+    measured 32 MB OOMing against the 16 MB scoped-VMEM limit at the
+    K=128 scale; the round-5 rewrites (lane-prefix-sum rank deleting
+    the [N,N] triangular-dot operand, per-group static-slice pooling
+    deleting the rep/sel dot operands) freed that headroom: with NO
+    scoped-vmem flag, 32 MB tiles compile and win at every stage
+    (2026-08-21, /tmp+artifacts r5_recover stage S vs the no-flag
+    probe: seg_sa1 30.6->29.2 ms, box_sa1 8.70->8.12, seg_sa2/box_sa2
+    flat). Env override for sweeps."""
     if _EXTRACT_MB:
         return int(_EXTRACT_MB)
-    return 16 if n >= 1024 else 8
+    return 32
 # Test hook: models.pointnet2 passes this as the interpret flag so CPU
 # tests can exercise the fused module path (see tests/test_fused_sa.py).
 INTERPRET = False
